@@ -1,0 +1,52 @@
+"""Device-mesh and sharding helpers.
+
+The reference's only parallelism is NCCL data-parallel via HF Accelerate
+(`/root/reference/scripts/train_stage1.py:214-221`). TPU-native, that becomes a
+`jax.sharding.Mesh` with a `data` axis over ICI; gradients all-reduce via the
+XLA collectives `pjit` inserts (or explicit `psum` under `shard_map`). Frames /
+sliding windows of a video shard over the same axis at inference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_name: str = DATA_AXIS,
+) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch / frame / window) axis over the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(tree, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Place every array in `tree` with its leading axis sharded over `mesh`."""
+    sharding = batch_sharded(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
