@@ -1,0 +1,211 @@
+"""Shared Flax layers: time embeddings, attention, transformer blocks.
+
+The reference-attention "bank" mechanism is rebuilt functionally (no monkey
+patching): write-mode blocks *return* their normed hidden states; read-mode
+blocks take the reference features as an explicit argument and use
+``norm_h + ref`` as the K/V sequence of self-attention — the additive
+injection of ``/root/reference/src/models/mutual_mix_attention.py:169-180``.
+The CFG-uncond bypass (``:181-201``, plain self-attention for the uncond
+half) is equivalent to injecting ``ref = 0`` for that half, so one fused
+attention covers both halves.
+
+All token tensors are (B, S, C); all image tensors are NHWC.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def get_timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, matching diffusers ``Timesteps``.
+
+    timesteps: (B,) float or int; returns (B, dim) float32.
+    """
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    if flip_sin_to_cos:
+        return jnp.concatenate([cos, sin], axis=-1)
+    return jnp.concatenate([sin, cos], axis=-1)
+
+
+class TimestepEmbed(nn.Module):
+    """linear -> silu -> linear (diffusers ``TimestepEmbedding``)."""
+
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_1")(t_emb)
+        x = nn.silu(x)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+) -> jnp.ndarray:
+    """Multi-head attention on (B, S, C) tensors with fp32 softmax.
+
+    The XLA path; the Pallas flash kernel (kernels/flash_attention.py) replaces
+    this on TPU for long sequences via `attention_backend`.
+    """
+    B, Sq, C = q.shape
+    Sk = k.shape[1]
+    head_dim = C // heads
+    scale = 1.0 / math.sqrt(head_dim)
+
+    q = q.reshape(B, Sq, heads, head_dim)
+    k = k.reshape(B, Sk, heads, head_dim)
+    v = v.reshape(B, Sk, heads, head_dim)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(logits * scale, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+    return out.reshape(B, Sq, C)
+
+
+# Set by kernels.flash_attention at import time when the Pallas path is usable.
+_ATTENTION_IMPL = {"fn": dot_product_attention}
+
+
+def set_attention_impl(fn) -> None:
+    _ATTENTION_IMPL["fn"] = fn
+
+
+def run_attention(q, k, v, heads):
+    return _ATTENTION_IMPL["fn"](q, k, v, heads)
+
+
+class Attention(nn.Module):
+    """diffusers-style Attention: to_q/to_k/to_v (no bias), to_out (bias).
+
+    ``kv_dim`` differs from ``dim`` for cross-attention (CLIP context: 768).
+    """
+
+    dim: int
+    heads: int
+    kv_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None):
+        ctx = x if context is None else context
+        q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        out = run_attention(q, k, v, self.heads)
+        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """dim -> 4*dim GEGLU -> dim (diffusers ``FeedForward`` with geglu)."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim * self.mult
+        hidden_gate = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
+        hidden, gate = jnp.split(hidden_gate, 2, axis=-1)
+        x = hidden * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out")(x)
+
+
+class TransformerBlock(nn.Module):
+    """Basic transformer block: self-attn (+ reference injection) / cross / FF.
+
+    - ``write=True`` (guidance UNet): returns ``(x, norm_h)`` where norm_h is
+      the bank entry (`mutual_mix_attention.py:140`).
+    - ``ref`` given (denoising UNet): K/V = norm_h + ref (`:169-180`). Passing
+      ``ref=None`` or zeros yields plain self-attention (the uncond/no-ref path).
+    """
+
+    dim: int
+    heads: int
+    cross_dim: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: jnp.ndarray,
+        ref: Optional[jnp.ndarray] = None,
+        write: bool = False,
+    ):
+        norm_h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        bank_out = norm_h if write else None
+
+        kv = norm_h if ref is None else norm_h + ref
+        attn1 = Attention(self.dim, self.heads, dtype=self.dtype, name="attn1")
+        x = x + attn1(norm_h, kv if ref is not None else None)
+
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        attn2 = Attention(
+            self.dim, self.heads, kv_dim=self.cross_dim, dtype=self.dtype, name="attn2"
+        )
+        x = x + attn2(norm2, context)
+
+        norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(norm3)
+        return x, bank_out
+
+
+class SpatialTransformer(nn.Module):
+    """GroupNorm -> 1x1 conv proj_in -> TransformerBlock -> 1x1 proj_out (+res).
+
+    Rebuilds ``Transformer2DModel`` (`/root/reference/src/models/transformer_2d.py:32`)
+    / ``Transformer3DModel`` (frames folded into batch upstream).
+    SD1.5 depth is 1 transformer block.
+    """
+
+    dim: int
+    heads: int
+    cross_dim: int = 768
+    norm_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, H, W, C)
+        context: jnp.ndarray,  # (B, S_ctx, cross_dim)
+        ref: Optional[jnp.ndarray] = None,
+        write: bool = False,
+    ):
+        B, H, W, C = x.shape
+        residual = x
+        h = nn.GroupNorm(
+            num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm"
+        )(x)
+        # SD1.5 uses a 1x1 conv projection (use_linear_projection=False); on a
+        # NHWC token layout that's exactly a Dense over the channel axis.
+        h = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(B, H * W, self.dim)
+        h, bank = TransformerBlock(
+            self.dim, self.heads, self.cross_dim, dtype=self.dtype, name="block"
+        )(h, context, ref=ref, write=write)
+        h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+        h = h.reshape(B, H, W, C)
+        return h + residual, bank

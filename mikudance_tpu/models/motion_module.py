@@ -1,0 +1,107 @@
+"""AnimateDiff-style temporal motion module, NHWC/video layout.
+
+Rebuilds ``VanillaTemporalModule`` -> ``TemporalTransformer3DModel`` ->
+``TemporalTransformerBlock`` -> ``VersatileAttention`` from
+`/root/reference/src/models/motion_module.py:45,96,194,293`:
+
+- per-spatial-location self-attention across frames: tokens laid out
+  (B*H*W, T, C) — short sequences (T<=32), huge batch; exactly the layout the
+  TPU wants (the T x T attention is tiny, everything else is batched matmul).
+- sinusoidal temporal positional encoding (max_len 32) added to the *query
+  path only*: the reference aliases the K/V tensor before applying the PE
+  (`motion_module.py:404-417` — ``hidden_states_cross`` is bound before
+  ``pos_encoder`` runs), a quirk that must be preserved for weight parity.
+- ``proj_out`` zero-initialized so a fresh module is the identity
+  (`motion_module.py:73-75`).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .layers import Attention, GEGLUFeedForward
+
+
+def temporal_positional_encoding(max_len: int, dim: int) -> np.ndarray:
+    """Standard sinusoidal PE table (max_len, dim), float32."""
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div_term = np.exp(np.arange(0, dim, 2, dtype=np.float64) * (-math.log(10000.0) / dim))
+    pe = np.zeros((max_len, dim), dtype=np.float64)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe.astype(np.float32)
+
+
+class TemporalAttentionLayer(nn.Module):
+    """One VersatileAttention("Temporal_Self"): PE on queries, attend over T."""
+
+    dim: int
+    heads: int
+    max_len: int = 32
+    use_pe: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B*HW, T, C) pre-normed tokens; returns attention output."""
+        T = x.shape[1]
+        kv = x  # pre-PE alias, replicating motion_module.py:404-417
+        if self.use_pe:
+            pe = jnp.asarray(temporal_positional_encoding(self.max_len, self.dim))
+            x = x + pe[None, :T, :].astype(x.dtype)
+        return Attention(self.dim, self.heads, dtype=self.dtype, name="attn")(x, kv)
+
+
+class MotionModule(nn.Module):
+    """Full temporal transformer applied to a (B, T, H, W, C) feature map."""
+
+    dim: int
+    heads: int = 8
+    num_transformer_blocks: int = 1
+    attention_layers: int = 2
+    max_len: int = 32
+    use_pe: bool = True
+    norm_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, T, H, W, C = x.shape
+        residual = x
+        h = x.reshape(B * T, H, W, C)
+        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm")(h)
+        h = h.reshape(B, T, H * W, C)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(h)
+
+        # (B, T, HW, C) -> (B*HW, T, C): temporal tokens per spatial location.
+        h = h.transpose(0, 2, 1, 3).reshape(B * H * W, T, self.dim)
+
+        for b in range(self.num_transformer_blocks):
+            for a in range(self.attention_layers):
+                normed = nn.LayerNorm(
+                    epsilon=1e-5, dtype=self.dtype, name=f"blocks_{b}_norm_{a}"
+                )(h)
+                h = h + TemporalAttentionLayer(
+                    self.dim,
+                    self.heads,
+                    self.max_len,
+                    self.use_pe,
+                    dtype=self.dtype,
+                    name=f"blocks_{b}_attn_{a}",
+                )(normed)
+            ff_norm = nn.LayerNorm(
+                epsilon=1e-5, dtype=self.dtype, name=f"blocks_{b}_ff_norm"
+            )(h)
+            h = h + GEGLUFeedForward(self.dim, dtype=self.dtype, name=f"blocks_{b}_ff")(
+                ff_norm
+            )
+
+        h = nn.Dense(
+            C, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out"
+        )(h)
+        h = h.reshape(B, H * W, T, C).transpose(0, 2, 1, 3).reshape(B, T, H, W, C)
+        return h + residual

@@ -1,0 +1,83 @@
+"""Resnet blocks and spatial up/down sampling (NHWC).
+
+Rebuilds the diffusers/reference primitives (`/root/reference/src/models/resnet.py`):
+"inflated" 3D convs are 2D convs with frames folded into the batch axis
+(`resnet.py:9-17` literally rearranges ``b c f h w -> (b f) c h w``), so here
+everything is 2D on (B*T, H, W, C) and the fold happens in the UNet.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def conv3x3(features: int, dtype=jnp.float32, name: Optional[str] = None, stride: int = 1):
+    # Explicit ((1,1),(1,1)) padding matches torch Conv2d(k=3, p=1) for every
+    # stride (jax 'SAME' pads asymmetrically for stride 2).
+    return nn.Conv(
+        features,
+        (3, 3),
+        strides=(stride, stride),
+        padding=((1, 1), (1, 1)),
+        dtype=dtype,
+        name=name,
+    )
+
+
+class ResnetBlock(nn.Module):
+    """GN-silu-conv -> +time -> GN-silu-conv, with 1x1 shortcut on width change."""
+
+    out_channels: int
+    norm_groups: int = 32
+    eps: float = 1e-5
+    use_time_emb: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None):
+        h = nn.GroupNorm(self.norm_groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = conv3x3(self.out_channels, self.dtype, "conv1")(h)
+
+        if self.use_time_emb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + t[:, None, None, :]
+
+        h = nn.GroupNorm(self.norm_groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = conv3x3(self.out_channels, self.dtype, "conv2")(h)
+
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    """3x3 stride-2 conv (torch padding=1)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return conv3x3(self.out_channels, self.dtype, "conv", stride=2)(x)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x + 3x3 conv."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return conv3x3(self.out_channels, self.dtype, "conv")(x)

@@ -1,0 +1,242 @@
+"""The two MikuDance UNets, TPU-native.
+
+- ``GuidanceUNet``: the reference/guidance encoder ("MIX" / "MIX_CHAR",
+  `/root/reference/src/models/unet_2d_mix.py`, `unet_2d_mix_char.py`): a 2D
+  SD1.5-geometry UNet whose conv_in takes the 20-channel condition stack, with
+  a MAN block after every down block (MIX only, `unet_2d_mix.py:556-557,1288`)
+  and whose only *output* is the per-transformer-block attention banks
+  (`conv_out` is disabled in the reference, `unet_2d_mix.py:1371-1375`).
+- ``DenoisingUNet``: the 3D denoising UNet (`unet_3d_mix.py:34`): SD1.5
+  inflated over frames (2D convs on a folded (B*T) batch — the literal meaning
+  of ``InflatedConv3d``, `resnet.py:9-17`) with an AnimateDiff motion module
+  after every attention/resnet layer, consuming the banks in its spatial
+  self-attentions.
+
+Bank pairing: the reference pairs writer/reader blocks by sorting all
+transformer blocks by norm width descending with a stable DFS tiebreak
+(`mutual_mix_attention.py:299-301`); because both UNets share the SD1.5
+topology this reduces to *same structural position*, so banks are keyed by
+position (``down_i_j`` / ``mid`` / ``up_i_j``) here.
+
+Layout: NHWC; video tensors (B, T, H, W, C).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.configs import DenoisingUNetConfig, GuidanceUNetConfig, UNetConfig
+from .layers import SpatialTransformer, TimestepEmbed, get_timestep_embedding
+from .man import MANBlock
+from .motion_module import MotionModule
+from .resnet import Downsample, ResnetBlock, Upsample, conv3x3
+
+
+def bank_keys(cfg: UNetConfig) -> list:
+    """Structural keys of all 16 spatial transformer blocks, in network order."""
+    keys = []
+    n = cfg.num_blocks
+    for i in range(n - 1):  # cross-attn down blocks (last down block is plain)
+        for j in range(cfg.layers_per_block):
+            keys.append(f"down_{i}_{j}")
+    keys.append("mid")
+    for i in range(1, n):  # up block 0 is plain
+        for j in range(cfg.layers_per_block + 1):
+            keys.append(f"up_{i}_{j}")
+    return keys
+
+
+def _up_block_channels(cfg: UNetConfig, i: int):
+    """(prev_output, output, skip_input) channels of up block i (diffusers logic)."""
+    rev = list(reversed(cfg.block_out_channels))
+    out_ch = rev[i]
+    prev_ch = rev[max(i - 1, 0)]
+    in_ch = rev[min(i + 1, len(rev) - 1)]
+    return prev_ch, out_ch, in_ch
+
+
+class GuidanceUNet(nn.Module):
+    cfg: GuidanceUNetConfig = GuidanceUNetConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        cond: jnp.ndarray,  # (B, H, W, 20) condition latent stack
+        motion_map: Optional[jnp.ndarray],  # (B, H, W, 2) scene motion (MIX only)
+        timesteps: jnp.ndarray,  # (B,) — the reference always passes 0
+        context: jnp.ndarray,  # (B, S, 768) CLIP image tokens
+    ) -> Dict[str, jnp.ndarray]:
+        u = self.cfg.unet
+        ch = u.block_out_channels
+        heads = u.attention_heads
+        banks: Dict[str, jnp.ndarray] = {}
+
+        t_emb = get_timestep_embedding(
+            timesteps, ch[0], u.flip_sin_to_cos, u.freq_shift
+        ).astype(self.dtype)
+        temb = TimestepEmbed(u.time_embed_dim, self.dtype, name="time_embedding")(t_emb)
+
+        h = conv3x3(ch[0], self.dtype, "conv_in")(cond.astype(self.dtype))
+
+        skips = [h]
+        for i in range(u.num_blocks):
+            is_final = i == u.num_blocks - 1
+            has_attn = not is_final
+            for j in range(u.layers_per_block):
+                h = ResnetBlock(ch[i], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
+                                name=f"down_{i}_res_{j}")(h, temb)
+                if has_attn:
+                    h, bank = SpatialTransformer(
+                        ch[i], heads, u.cross_attention_dim, u.norm_num_groups,
+                        dtype=self.dtype, name=f"down_{i}_attn_{j}",
+                    )(h, context, write=True)
+                    banks[f"down_{i}_{j}"] = bank
+                skips.append(h)
+            if not is_final:
+                h = Downsample(ch[i], self.dtype, name=f"down_{i}_down")(h)
+                skips.append(h)
+            if self.cfg.use_man and motion_map is not None:
+                # MAN modulates only the main path, after the whole down block
+                # (unet_2d_mix.py:1288); skip tensors are untouched.
+                h = MANBlock(self.cfg.man_hidden, dtype=self.dtype, name=f"man_{i}")(
+                    h, motion_map
+                )
+
+        h = ResnetBlock(ch[-1], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
+                        name="mid_res_0")(h, temb)
+        h, bank = SpatialTransformer(
+            ch[-1], heads, u.cross_attention_dim, u.norm_num_groups,
+            dtype=self.dtype, name="mid_attn",
+        )(h, context, write=True)
+        banks["mid"] = bank
+        h = ResnetBlock(ch[-1], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
+                        name="mid_res_1")(h, temb)
+
+        for i in range(u.num_blocks):
+            _, out_ch, _ = _up_block_channels(u, i)
+            has_attn = i > 0  # up block 0 is the plain UpBlock
+            for j in range(u.layers_per_block + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResnetBlock(out_ch, u.norm_num_groups, u.norm_eps, dtype=self.dtype,
+                                name=f"up_{i}_res_{j}")(h, temb)
+                if has_attn:
+                    h, bank = SpatialTransformer(
+                        out_ch, heads, u.cross_attention_dim, u.norm_num_groups,
+                        dtype=self.dtype, name=f"up_{i}_attn_{j}",
+                    )(h, context, write=True)
+                    banks[f"up_{i}_{j}"] = bank
+            if i < u.num_blocks - 1:
+                h = Upsample(out_ch, self.dtype, name=f"up_{i}_up")(h)
+
+        # conv_norm_out / conv_out are disabled in the reference guidance UNet
+        # (unet_2d_mix.py:1371-1375) — banks are the only output.
+        return banks
+
+
+class DenoisingUNet(nn.Module):
+    cfg: DenoisingUNetConfig = DenoisingUNetConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    def _motion(self, name: str, dim: int):
+        m = self.cfg.motion
+        return MotionModule(
+            dim,
+            heads=m.num_attention_heads,
+            num_transformer_blocks=m.num_transformer_blocks,
+            attention_layers=m.attention_layers_per_block,
+            max_len=m.temporal_position_encoding_max_len,
+            use_pe=m.temporal_position_encoding,
+            dtype=self.dtype,
+            name=name,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # (B, T, H, W, 4) noisy latents
+        timesteps: jnp.ndarray,  # (B,)
+        context: jnp.ndarray,  # (B, S, 768) CLIP image tokens
+        banks: Optional[Dict[str, jnp.ndarray]] = None,  # each (B*T, S_l, C_l)
+    ) -> jnp.ndarray:
+        u = self.cfg.unet
+        ch = u.block_out_channels
+        heads = u.attention_heads
+        use_motion = self.cfg.motion.enabled
+        B, T, H, W, C = sample.shape
+
+        def fold(x):  # (B, T, h, w, c) -> (B*T, h, w, c)
+            return x.reshape((B * T,) + x.shape[2:])
+
+        def unfold(x):  # (B*T, h, w, c) -> (B, T, h, w, c)
+            return x.reshape((B, T) + x.shape[1:])
+
+        t_emb = get_timestep_embedding(
+            timesteps, ch[0], u.flip_sin_to_cos, u.freq_shift
+        ).astype(self.dtype)
+        temb = TimestepEmbed(u.time_embed_dim, self.dtype, name="time_embedding")(t_emb)
+        temb_f = jnp.repeat(temb, T, axis=0)  # per-frame
+        ctx_f = jnp.repeat(context.astype(self.dtype), T, axis=0)
+
+        def ref(key):
+            return None if banks is None else banks.get(key)
+
+        h = conv3x3(ch[0], self.dtype, "conv_in")(fold(sample.astype(self.dtype)))
+
+        skips = [h]
+        for i in range(u.num_blocks):
+            is_final = i == u.num_blocks - 1
+            has_attn = not is_final
+            for j in range(u.layers_per_block):
+                h = ResnetBlock(ch[i], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
+                                name=f"down_{i}_res_{j}")(h, temb_f)
+                if has_attn:
+                    h, _ = SpatialTransformer(
+                        ch[i], heads, u.cross_attention_dim, u.norm_num_groups,
+                        dtype=self.dtype, name=f"down_{i}_attn_{j}",
+                    )(h, ctx_f, ref=ref(f"down_{i}_{j}"))
+                if use_motion:
+                    h = fold(self._motion(f"down_{i}_motion_{j}", ch[i])(unfold(h)))
+                skips.append(h)
+            if not is_final:
+                h = Downsample(ch[i], self.dtype, name=f"down_{i}_down")(h)
+                skips.append(h)
+
+        h = ResnetBlock(ch[-1], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
+                        name="mid_res_0")(h, temb_f)
+        h, _ = SpatialTransformer(
+            ch[-1], heads, u.cross_attention_dim, u.norm_num_groups,
+            dtype=self.dtype, name="mid_attn",
+        )(h, ctx_f, ref=ref("mid"))
+        if use_motion and self.cfg.motion.mid_block:
+            h = fold(self._motion("mid_motion", ch[-1])(unfold(h)))
+        h = ResnetBlock(ch[-1], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
+                        name="mid_res_1")(h, temb_f)
+
+        for i in range(u.num_blocks):
+            _, out_ch, _ = _up_block_channels(u, i)
+            has_attn = i > 0
+            for j in range(u.layers_per_block + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResnetBlock(out_ch, u.norm_num_groups, u.norm_eps, dtype=self.dtype,
+                                name=f"up_{i}_res_{j}")(h, temb_f)
+                if has_attn:
+                    h, _ = SpatialTransformer(
+                        out_ch, heads, u.cross_attention_dim, u.norm_num_groups,
+                        dtype=self.dtype, name=f"up_{i}_attn_{j}",
+                    )(h, ctx_f, ref=ref(f"up_{i}_{j}"))
+                if use_motion:
+                    h = fold(self._motion(f"up_{i}_motion_{j}", out_ch)(unfold(h)))
+            if i < u.num_blocks - 1:
+                h = Upsample(out_ch, self.dtype, name=f"up_{i}_up")(h)
+
+        h = nn.GroupNorm(u.norm_num_groups, epsilon=u.norm_eps, dtype=self.dtype,
+                         name="conv_norm_out")(h)
+        h = nn.silu(h)
+        h = conv3x3(u.out_channels, self.dtype, "conv_out")(h)
+        return unfold(h)

@@ -17,3 +17,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Per-op eager dispatch costs ~0.4 s/op to compile on this 1-core host; tests
+# must jit whole model calls, and the persistent cache makes reruns cheap.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

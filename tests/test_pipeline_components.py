@@ -1,0 +1,80 @@
+"""Context scheduler and scene-motion flow tests (pure math, exact oracles)."""
+
+import numpy as np
+
+from mikudance_tpu.pipelines import context as ctx
+from mikudance_tpu.pipelines import scene_motion as sm
+
+
+def test_bit_reversed_fraction():
+    assert ctx.bit_reversed_fraction(0) == 0.0
+    assert ctx.bit_reversed_fraction(1) == 0.5
+    assert ctx.bit_reversed_fraction(2) == 0.25
+    assert ctx.bit_reversed_fraction(3) == 0.75
+    assert ctx.bit_reversed_fraction(4) == 0.125
+
+
+def test_single_window_when_short():
+    w = ctx.window_matrix(num_frames=16, context_size=30)
+    assert w.shape == (1, 16)
+    np.testing.assert_array_equal(w[0], np.arange(16))
+
+
+def test_uniform_windows_step0():
+    # T=64, size=30, overlap=8, stride=1: starts at 0, 22, 44 with wraparound.
+    w = ctx.window_matrix(num_frames=64, context_size=30, context_overlap=8)
+    assert w.shape == (3, 30)
+    np.testing.assert_array_equal(w[0], np.arange(0, 30))
+    np.testing.assert_array_equal(w[1], np.arange(22, 52))
+    np.testing.assert_array_equal(w[2], np.arange(44, 74) % 64)
+
+
+def test_uniform_windows_step_offset():
+    # step=1 -> bit-reversed fraction 0.5 -> pad = T/2; same count, shifted.
+    wins = ctx.uniform_windows(1, 64, 30, 1, 8)
+    assert len(wins) == 3
+    assert wins[0][0] == (int(0.5 * 1) + 32) % 64
+
+
+def test_frame_counts():
+    w = ctx.window_matrix(num_frames=64, context_size=30, context_overlap=8)
+    counts = ctx.frame_counts(w, 64)
+    assert counts.sum() == w.size
+    assert counts.min() >= 1  # every frame covered
+    # overlap regions are covered twice
+    assert counts.max() == 2
+
+
+def test_scene_motion_identity_cameras_zero_flow():
+    T, h, w = 4, 8, 8
+    eye = np.tile(np.eye(4)[None], (T, 1, 1))
+    depth = np.random.default_rng(0).uniform(0, 1, size=(h, w))
+    flow = np.asarray(sm.scene_motion_flow(eye, eye, depth))
+    assert flow.shape == (T, h, w, 2)
+    np.testing.assert_allclose(flow, 0.0, atol=1e-4)
+
+
+def test_scene_motion_matches_numpy_oracle():
+    rng = np.random.default_rng(1)
+    T, h, w = 5, 8, 10
+    depth = rng.uniform(0, 1, size=(h, w))
+    # small random camera motion: perturbed identity transforms
+    w2c = np.tile(np.eye(4)[None], (T, 1, 1)) + 0.01 * rng.normal(size=(T, 4, 4))
+    c2w = np.tile(np.eye(4)[None], (T, 1, 1)) + 0.01 * rng.normal(size=(T, 4, 4))
+    got = np.asarray(sm.scene_motion_flow(w2c, c2w, depth))
+    want = sm.scene_motion_flow_np(w2c, c2w, depth)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert np.abs(want[1:]).max() > 0  # non-trivial flow
+
+
+def test_scene_motion_translation_direction():
+    """A pure camera x-translation between frames must produce horizontal flow."""
+    T, h, w = 2, 8, 8
+    c2w = np.tile(np.eye(4)[None], (T, 1, 1))
+    w2c = np.tile(np.eye(4)[None], (T, 1, 1))
+    w2c[1, 0, 3] = 1.0  # shift camera; points move in +x in camera frame
+    depth = np.full((h, w), 0.5)
+    flow = np.asarray(sm.scene_motion_flow(w2c, c2w, depth))
+    assert np.abs(flow[1, ..., 0]).mean() > 1e-3  # x-flow present
+    np.testing.assert_allclose(flow[1, ..., 1], 0.0, atol=1e-5)  # no y-flow
+    np.testing.assert_allclose(flow[0], 0.0)  # first frame zero
