@@ -1,0 +1,109 @@
+"""Headline benchmark: 16-frame 768x768 clip, 20 DDIM steps, full pipeline.
+
+Runs on the real TPU chip (axon default platform). Prints ONE JSON line:
+{"metric": ..., "value": seconds, "unit": "s", "vs_baseline": 8.0/seconds}
+
+The measured span is the full serving path of `scripts/inference_video.py`'s
+north star: batched VAE condition encode -> guidance banks (once, reused
+across steps) -> 20-step lax.scan denoise with CFG -> chunked VAE decode.
+Baseline: the driver-set target of 8 s on v5e-8 (BASELINE.json); this runs on
+a single v5e chip.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from mikudance_tpu.core.configs import (  # noqa: E402
+    ContextConfig,
+    DenoisingUNetConfig,
+    GuidanceUNetConfig,
+    PipelineConfig,
+)
+from mikudance_tpu.core.params import cast_params  # noqa: E402
+from mikudance_tpu.models.unet import DenoisingUNet, GuidanceUNet  # noqa: E402
+from mikudance_tpu.models.vae import Decoder, Encoder  # noqa: E402
+from mikudance_tpu.pipelines.video import ModelBundle, VideoPipeline  # noqa: E402
+
+T, H, W = 16, 768, 768
+STEPS = 20
+h, w = H // 8, W // 8
+DTYPE = jnp.bfloat16
+
+
+def build_bundle() -> ModelBundle:
+    rng = jax.random.PRNGKey(0)
+    guide = GuidanceUNet(GuidanceUNetConfig(), dtype=DTYPE)
+    den = DenoisingUNet(DenoisingUNetConfig(), dtype=DTYPE)
+    enc, dec = Encoder(dtype=DTYPE), Decoder(dtype=DTYPE)
+
+    gp = cast_params(
+        jax.jit(guide.init)(
+            rng, jnp.zeros((1, h, w, 20), DTYPE), jnp.zeros((1, h, w, 2), DTYPE),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 257, 768), DTYPE),
+        ),
+        DTYPE,
+    )
+    dp = cast_params(
+        jax.jit(den.init)(
+            rng, jnp.zeros((1, 1, h, w, 4), DTYPE), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 257, 768), DTYPE),
+        ),
+        DTYPE,
+    )
+    ep = cast_params(jax.jit(enc.init)(rng, jnp.zeros((1, H, W, 3), DTYPE)), DTYPE)
+    dcp = cast_params(jax.jit(dec.init)(rng, jnp.zeros((1, h, w, 4), DTYPE)), DTYPE)
+    return ModelBundle(guide, gp, den, dp, enc, ep, dec, dcp)
+
+
+def main():
+    bundle = build_bundle()
+    cfg = PipelineConfig(
+        width=W, height=H, num_inference_steps=STEPS, guidance_scale=3.5,
+        context=ContextConfig(frames=30, overlap=8),
+    )
+    pipe = VideoPipeline(bundle, cfg)
+
+    rng = np.random.default_rng(0)
+    ref = rng.uniform(-1, 1, (H, W, 3)).astype(np.float32)
+    skel = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    pose = rng.uniform(0, 1, (T, H, W, 3)).astype(np.float32)
+    face = np.zeros((T, H, W, 3), np.float32)
+    hand = np.zeros((T, H, W, 3), np.float32)
+    motion = np.zeros((T, h, w, 2), np.float32)
+    ctx = rng.normal(0, 1, (1, 257, 768)).astype(np.float32)
+    noise = rng.normal(0, 1, (T, h, w, 4)).astype(np.float32)
+
+    def run():
+        video = pipe(ref, skel, pose, face, hand, motion, ctx, noise)
+        return np.asarray(video)  # force full device->host completion
+
+    run()  # warmup / compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run()
+        times.append(time.perf_counter() - t0)
+    sec = float(np.median(times))
+    assert np.isfinite(out).all()
+
+    print(
+        json.dumps(
+            {
+                "metric": "sec per 16-frame 768^2 clip, 20 DDIM steps, full pipeline (1x v5e)",
+                "value": round(sec, 3),
+                "unit": "s",
+                "vs_baseline": round(8.0 / sec, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

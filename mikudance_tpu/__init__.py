@@ -15,3 +15,8 @@ mixed-motion-dynamics conditioning) as an idiomatic JAX/XLA program:
 """
 
 __version__ = "0.1.0"
+
+# Route the model attention through the Pallas/XLA dispatcher.
+from .kernels import flash_attention as _flash_attention  # noqa: E402
+
+_flash_attention.install()

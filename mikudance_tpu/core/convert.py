@@ -1,0 +1,324 @@
+"""PyTorch-checkpoint -> Flax parameter-tree converter.
+
+Maps the reference's released ``.pth`` state dicts (diffusers UNet / VAE /
+HF CLIP key names — see `/root/reference/tools/download_weights.py:6-104` for
+the checkpoint set and `unet_3d_mix.py:600-691` for the load-time merge
+semantics) onto this package's param trees.
+
+Transform rules:
+- Conv2d weight (O, I, kh, kw) -> HWIO kernel (kh, kw, I, O)
+- 1x1-conv projections that became Dense here (spatial transformer
+  proj_in/proj_out) -> squeeze spatial dims, transpose to (I, O)
+- Linear weight (O, I) -> kernel (I, O)
+- Norm weight -> scale
+- 3D "inflated" convs (`resnet.py:9-17`) carry 2D kernels; identical mapping.
+
+Weight-surgery helpers mirror the reference's from_unet/from_pretrained_2d
+conversions: conv_in zero-padding to 20 channels (`unet_2d_mix.py:896-920`)
+and motion-module dict merge (`unet_3d_mix.py:637-684`).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    """torch tensor / array -> numpy float32 array."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def conv_kernel(x) -> np.ndarray:
+    return _t(x).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+
+
+def dense_kernel(x) -> np.ndarray:
+    return _t(x).T  # (O, I) -> (I, O)
+
+
+def conv1x1_as_dense(x) -> np.ndarray:
+    a = _t(x)
+    if a.ndim == 4:  # (O, I, 1, 1)
+        a = a[:, :, 0, 0]
+    return a.T
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+# --------------------------------------------------------------------------
+# sub-tree converters (shared between the UNets)
+# --------------------------------------------------------------------------
+
+def _convert_resnet(src: Mapping, prefix: str, out: Dict, dst: Tuple[str, ...]):
+    m = {
+        "norm1.weight": ("norm1", "scale", _t),
+        "norm1.bias": ("norm1", "bias", _t),
+        "conv1.weight": ("conv1", "kernel", conv_kernel),
+        "conv1.bias": ("conv1", "bias", _t),
+        "time_emb_proj.weight": ("time_emb_proj", "kernel", dense_kernel),
+        "time_emb_proj.bias": ("time_emb_proj", "bias", _t),
+        "norm2.weight": ("norm2", "scale", _t),
+        "norm2.bias": ("norm2", "bias", _t),
+        "conv2.weight": ("conv2", "kernel", conv_kernel),
+        "conv2.bias": ("conv2", "bias", _t),
+        "conv_shortcut.weight": ("conv_shortcut", "kernel", conv_kernel),
+        "conv_shortcut.bias": ("conv_shortcut", "bias", _t),
+    }
+    for k, (sub, leaf, fn) in m.items():
+        key = f"{prefix}.{k}"
+        if key in src:
+            _set(out, dst + (sub, leaf), fn(src[key]))
+
+
+def _convert_attention(src: Mapping, prefix: str, out: Dict, dst: Tuple[str, ...]):
+    """diffusers Attention: to_q/k/v (no bias) + to_out.0 (bias)."""
+    for name in ("to_q", "to_k", "to_v"):
+        _set(out, dst + (name, "kernel"), dense_kernel(src[f"{prefix}.{name}.weight"]))
+    _set(out, dst + ("to_out", "kernel"), dense_kernel(src[f"{prefix}.to_out.0.weight"]))
+    _set(out, dst + ("to_out", "bias"), _t(src[f"{prefix}.to_out.0.bias"]))
+
+
+def _convert_transformer_block(src: Mapping, prefix: str, out: Dict, dst: Tuple[str, ...]):
+    """(Temporal)BasicTransformerBlock -> TransformerBlock."""
+    for n in ("norm1", "norm2", "norm3"):
+        _set(out, dst + (n, "scale"), _t(src[f"{prefix}.{n}.weight"]))
+        _set(out, dst + (n, "bias"), _t(src[f"{prefix}.{n}.bias"]))
+    _convert_attention(src, f"{prefix}.attn1", out, dst + ("attn1",))
+    _convert_attention(src, f"{prefix}.attn2", out, dst + ("attn2",))
+    _set(out, dst + ("ff", "proj", "kernel"), dense_kernel(src[f"{prefix}.ff.net.0.proj.weight"]))
+    _set(out, dst + ("ff", "proj", "bias"), _t(src[f"{prefix}.ff.net.0.proj.bias"]))
+    _set(out, dst + ("ff", "out", "kernel"), dense_kernel(src[f"{prefix}.ff.net.2.weight"]))
+    _set(out, dst + ("ff", "out", "bias"), _t(src[f"{prefix}.ff.net.2.bias"]))
+
+
+def _convert_spatial_transformer(src: Mapping, prefix: str, out: Dict, dst: Tuple[str, ...]):
+    """Transformer2DModel/3D -> SpatialTransformer (1x1 convs become Dense)."""
+    _set(out, dst + ("norm", "scale"), _t(src[f"{prefix}.norm.weight"]))
+    _set(out, dst + ("norm", "bias"), _t(src[f"{prefix}.norm.bias"]))
+    _set(out, dst + ("proj_in", "kernel"), conv1x1_as_dense(src[f"{prefix}.proj_in.weight"]))
+    _set(out, dst + ("proj_in", "bias"), _t(src[f"{prefix}.proj_in.bias"]))
+    _convert_transformer_block(src, f"{prefix}.transformer_blocks.0", out, dst + ("block",))
+    _set(out, dst + ("proj_out", "kernel"), conv1x1_as_dense(src[f"{prefix}.proj_out.weight"]))
+    _set(out, dst + ("proj_out", "bias"), _t(src[f"{prefix}.proj_out.bias"]))
+
+
+def _convert_motion_module(src: Mapping, prefix: str, out: Dict, dst: Tuple[str, ...]):
+    """motion_modules.{j}.temporal_transformer -> MotionModule."""
+    p = f"{prefix}.temporal_transformer"
+    _set(out, dst + ("norm", "scale"), _t(src[f"{p}.norm.weight"]))
+    _set(out, dst + ("norm", "bias"), _t(src[f"{p}.norm.bias"]))
+    _set(out, dst + ("proj_in", "kernel"), dense_kernel(src[f"{p}.proj_in.weight"]))
+    _set(out, dst + ("proj_in", "bias"), _t(src[f"{p}.proj_in.bias"]))
+    _set(out, dst + ("proj_out", "kernel"), dense_kernel(src[f"{p}.proj_out.weight"]))
+    _set(out, dst + ("proj_out", "bias"), _t(src[f"{p}.proj_out.bias"]))
+    for b in range(8):  # num transformer blocks (config uses 1)
+        bp = f"{p}.transformer_blocks.{b}"
+        if f"{bp}.ff_norm.weight" not in src:
+            break
+        for a in range(8):  # attention layers per block (config uses 2)
+            ap = f"{bp}.attention_blocks.{a}"
+            if f"{ap}.to_q.weight" not in src:
+                break
+            _set(out, dst + (f"blocks_{b}_norm_{a}", "scale"), _t(src[f"{bp}.norms.{a}.weight"]))
+            _set(out, dst + (f"blocks_{b}_norm_{a}", "bias"), _t(src[f"{bp}.norms.{a}.bias"]))
+            _convert_attention(src, ap, out, dst + (f"blocks_{b}_attn_{a}", "attn"))
+        _set(out, dst + (f"blocks_{b}_ff_norm", "scale"), _t(src[f"{bp}.ff_norm.weight"]))
+        _set(out, dst + (f"blocks_{b}_ff_norm", "bias"), _t(src[f"{bp}.ff_norm.bias"]))
+        _set(out, dst + (f"blocks_{b}_ff", "proj", "kernel"), dense_kernel(src[f"{bp}.ff.net.0.proj.weight"]))
+        _set(out, dst + (f"blocks_{b}_ff", "proj", "bias"), _t(src[f"{bp}.ff.net.0.proj.bias"]))
+        _set(out, dst + (f"blocks_{b}_ff", "out", "kernel"), dense_kernel(src[f"{bp}.ff.net.2.weight"]))
+        _set(out, dst + (f"blocks_{b}_ff", "out", "bias"), _t(src[f"{bp}.ff.net.2.bias"]))
+
+
+def _convert_man(src: Mapping, prefix: str, out: Dict, dst: Tuple[str, ...]):
+    _set(out, dst + ("mlp_shared", "kernel"), conv_kernel(src[f"{prefix}.mlp_shared.0.weight"]))
+    _set(out, dst + ("mlp_shared", "bias"), _t(src[f"{prefix}.mlp_shared.0.bias"]))
+    for n in ("mlp_gamma", "mlp_beta"):
+        _set(out, dst + (n, "kernel"), conv_kernel(src[f"{prefix}.{n}.weight"]))
+        _set(out, dst + (n, "bias"), _t(src[f"{prefix}.{n}.bias"]))
+
+
+# --------------------------------------------------------------------------
+# whole-model converters
+# --------------------------------------------------------------------------
+
+def convert_unet(
+    src: Mapping, num_blocks: int = 4, layers_per_block: int = 2,
+    with_motion: bool = False, with_man: bool = False, with_conv_out: bool = True,
+) -> Dict:
+    """diffusers-UNet-style state dict -> GuidanceUNet / DenoisingUNet params."""
+    out: Dict[str, Any] = {}
+    _set(out, ("conv_in", "kernel"), conv_kernel(src["conv_in.weight"]))
+    _set(out, ("conv_in", "bias"), _t(src["conv_in.bias"]))
+    for i in (1, 2):
+        _set(out, ("time_embedding", f"linear_{i}", "kernel"),
+             dense_kernel(src[f"time_embedding.linear_{i}.weight"]))
+        _set(out, ("time_embedding", f"linear_{i}", "bias"),
+             _t(src[f"time_embedding.linear_{i}.bias"]))
+
+    for i in range(num_blocks):
+        has_attn = i < num_blocks - 1
+        for j in range(layers_per_block):
+            _convert_resnet(src, f"down_blocks.{i}.resnets.{j}", out, (f"down_{i}_res_{j}",))
+            if has_attn:
+                _convert_spatial_transformer(
+                    src, f"down_blocks.{i}.attentions.{j}", out, (f"down_{i}_attn_{j}",))
+            if with_motion and f"down_blocks.{i}.motion_modules.{j}.temporal_transformer.norm.weight" in src:
+                _convert_motion_module(
+                    src, f"down_blocks.{i}.motion_modules.{j}", out, (f"down_{i}_motion_{j}",))
+        if i < num_blocks - 1:
+            _set(out, (f"down_{i}_down", "conv", "kernel"),
+                 conv_kernel(src[f"down_blocks.{i}.downsamplers.0.conv.weight"]))
+            _set(out, (f"down_{i}_down", "conv", "bias"),
+                 _t(src[f"down_blocks.{i}.downsamplers.0.conv.bias"]))
+        if with_man and f"man_blocks.{i}.mlp_gamma.weight" in src:
+            _convert_man(src, f"man_blocks.{i}", out, (f"man_{i}",))
+
+    _convert_resnet(src, "mid_block.resnets.0", out, ("mid_res_0",))
+    _convert_spatial_transformer(src, "mid_block.attentions.0", out, ("mid_attn",))
+    _convert_resnet(src, "mid_block.resnets.1", out, ("mid_res_1",))
+    if with_motion and "mid_block.motion_modules.0.temporal_transformer.norm.weight" in src:
+        _convert_motion_module(src, "mid_block.motion_modules.0", out, ("mid_motion",))
+
+    for i in range(num_blocks):
+        has_attn = i > 0
+        for j in range(layers_per_block + 1):
+            _convert_resnet(src, f"up_blocks.{i}.resnets.{j}", out, (f"up_{i}_res_{j}",))
+            if has_attn:
+                _convert_spatial_transformer(
+                    src, f"up_blocks.{i}.attentions.{j}", out, (f"up_{i}_attn_{j}",))
+            if with_motion and f"up_blocks.{i}.motion_modules.{j}.temporal_transformer.norm.weight" in src:
+                _convert_motion_module(
+                    src, f"up_blocks.{i}.motion_modules.{j}", out, (f"up_{i}_motion_{j}",))
+        if i < num_blocks - 1:
+            _set(out, (f"up_{i}_up", "conv", "kernel"),
+                 conv_kernel(src[f"up_blocks.{i}.upsamplers.0.conv.weight"]))
+            _set(out, (f"up_{i}_up", "conv", "bias"),
+                 _t(src[f"up_blocks.{i}.upsamplers.0.conv.bias"]))
+
+    if with_conv_out and "conv_out.weight" in src:
+        _set(out, ("conv_norm_out", "scale"), _t(src["conv_norm_out.weight"]))
+        _set(out, ("conv_norm_out", "bias"), _t(src["conv_norm_out.bias"]))
+        _set(out, ("conv_out", "kernel"), conv_kernel(src["conv_out.weight"]))
+        _set(out, ("conv_out", "bias"), _t(src["conv_out.bias"]))
+    return out
+
+
+def _convert_vae_resnet(src: Mapping, prefix: str, out: Dict, dst: Tuple[str, ...]):
+    _convert_resnet(src, prefix, out, dst)  # same key set minus time_emb_proj
+
+
+def _convert_vae_attention(src: Mapping, prefix: str, out: Dict, dst: Tuple[str, ...]):
+    _set(out, dst + ("group_norm", "scale"), _t(src[f"{prefix}.group_norm.weight"]))
+    _set(out, dst + ("group_norm", "bias"), _t(src[f"{prefix}.group_norm.bias"]))
+    for n in ("to_q", "to_k", "to_v"):
+        _set(out, dst + (n, "kernel"), dense_kernel(src[f"{prefix}.{n}.weight"]))
+        _set(out, dst + (n, "bias"), _t(src[f"{prefix}.{n}.bias"]))
+    _set(out, dst + ("to_out", "kernel"), dense_kernel(src[f"{prefix}.to_out.0.weight"]))
+    _set(out, dst + ("to_out", "bias"), _t(src[f"{prefix}.to_out.0.bias"]))
+
+
+def convert_vae_encoder(src: Mapping, num_blocks: int = 4, layers_per_block: int = 2) -> Dict:
+    out: Dict[str, Any] = {}
+    _set(out, ("conv_in", "kernel"), conv_kernel(src["encoder.conv_in.weight"]))
+    _set(out, ("conv_in", "bias"), _t(src["encoder.conv_in.bias"]))
+    for i in range(num_blocks):
+        for j in range(layers_per_block):
+            _convert_vae_resnet(src, f"encoder.down_blocks.{i}.resnets.{j}", out, (f"down_{i}_res_{j}",))
+        if i < num_blocks - 1:
+            _set(out, (f"down_{i}_down", "conv", "kernel"),
+                 conv_kernel(src[f"encoder.down_blocks.{i}.downsamplers.0.conv.weight"]))
+            _set(out, (f"down_{i}_down", "conv", "bias"),
+                 _t(src[f"encoder.down_blocks.{i}.downsamplers.0.conv.bias"]))
+    _convert_vae_resnet(src, "encoder.mid_block.resnets.0", out, ("mid_res_0",))
+    _convert_vae_attention(src, "encoder.mid_block.attentions.0", out, ("mid_attn",))
+    _convert_vae_resnet(src, "encoder.mid_block.resnets.1", out, ("mid_res_1",))
+    _set(out, ("conv_norm_out", "scale"), _t(src["encoder.conv_norm_out.weight"]))
+    _set(out, ("conv_norm_out", "bias"), _t(src["encoder.conv_norm_out.bias"]))
+    _set(out, ("conv_out", "kernel"), conv_kernel(src["encoder.conv_out.weight"]))
+    _set(out, ("conv_out", "bias"), _t(src["encoder.conv_out.bias"]))
+    _set(out, ("quant_conv", "kernel"), conv_kernel(src["quant_conv.weight"]))
+    _set(out, ("quant_conv", "bias"), _t(src["quant_conv.bias"]))
+    return out
+
+
+def convert_vae_decoder(src: Mapping, num_blocks: int = 4, layers_per_block: int = 2) -> Dict:
+    out: Dict[str, Any] = {}
+    _set(out, ("post_quant_conv", "kernel"), conv_kernel(src["post_quant_conv.weight"]))
+    _set(out, ("post_quant_conv", "bias"), _t(src["post_quant_conv.bias"]))
+    _set(out, ("conv_in", "kernel"), conv_kernel(src["decoder.conv_in.weight"]))
+    _set(out, ("conv_in", "bias"), _t(src["decoder.conv_in.bias"]))
+    _convert_vae_resnet(src, "decoder.mid_block.resnets.0", out, ("mid_res_0",))
+    _convert_vae_attention(src, "decoder.mid_block.attentions.0", out, ("mid_attn",))
+    _convert_vae_resnet(src, "decoder.mid_block.resnets.1", out, ("mid_res_1",))
+    for i in range(num_blocks):
+        for j in range(layers_per_block + 1):
+            _convert_vae_resnet(src, f"decoder.up_blocks.{i}.resnets.{j}", out, (f"up_{i}_res_{j}",))
+        if i < num_blocks - 1:
+            _set(out, (f"up_{i}_up", "conv", "kernel"),
+                 conv_kernel(src[f"decoder.up_blocks.{i}.upsamplers.0.conv.weight"]))
+            _set(out, (f"up_{i}_up", "conv", "bias"),
+                 _t(src[f"decoder.up_blocks.{i}.upsamplers.0.conv.bias"]))
+    _set(out, ("conv_norm_out", "scale"), _t(src["decoder.conv_norm_out.weight"]))
+    _set(out, ("conv_norm_out", "bias"), _t(src["decoder.conv_norm_out.bias"]))
+    _set(out, ("conv_out", "kernel"), conv_kernel(src["decoder.conv_out.weight"]))
+    _set(out, ("conv_out", "bias"), _t(src["decoder.conv_out.bias"]))
+    return out
+
+
+def convert_clip_vision(src: Mapping, num_layers: int = 24) -> Dict:
+    out: Dict[str, Any] = {}
+    _set(out, ("class_embedding",), _t(src["vision_model.embeddings.class_embedding"]))
+    _set(out, ("patch_embedding", "kernel"),
+         conv_kernel(src["vision_model.embeddings.patch_embedding.weight"]))
+    _set(out, ("position_embedding",), _t(src["vision_model.embeddings.position_embedding.weight"]))
+    for n, d in (("pre_layrnorm", "pre_layrnorm"), ("post_layernorm", "post_layernorm")):
+        _set(out, (d, "scale"), _t(src[f"vision_model.{n}.weight"]))
+        _set(out, (d, "bias"), _t(src[f"vision_model.{n}.bias"]))
+    for i in range(num_layers):
+        p = f"vision_model.encoder.layers.{i}"
+        d = f"layers_{i}"
+        for n in ("layer_norm1", "layer_norm2"):
+            _set(out, (d, n, "scale"), _t(src[f"{p}.{n}.weight"]))
+            _set(out, (d, n, "bias"), _t(src[f"{p}.{n}.bias"]))
+        for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _set(out, (d, n, "kernel"), dense_kernel(src[f"{p}.self_attn.{n}.weight"]))
+            _set(out, (d, n, "bias"), _t(src[f"{p}.self_attn.{n}.bias"]))
+        for n in ("fc1", "fc2"):
+            _set(out, (d, n, "kernel"), dense_kernel(src[f"{p}.mlp.{n}.weight"]))
+            _set(out, (d, n, "bias"), _t(src[f"{p}.mlp.{n}.bias"]))
+    _set(out, ("visual_projection", "kernel"), dense_kernel(src["visual_projection.weight"]))
+    return out
+
+
+# --------------------------------------------------------------------------
+# weight surgery (reference load-time conversions)
+# --------------------------------------------------------------------------
+
+def zero_pad_conv_in(src: Dict, new_in_channels: int) -> Dict:
+    """SD 4-ch conv_in -> N-ch with zero-padded extra input channels
+    (`unet_2d_mix.py:904-907`). Operates on a converted flax tree."""
+    k = src["conv_in"]["kernel"]  # (3, 3, 4, 320)
+    kh, kw, old_in, out_ch = k.shape
+    nk = np.zeros((kh, kw, new_in_channels, out_ch), k.dtype)
+    nk[:, :, :old_in] = k
+    src["conv_in"]["kernel"] = nk
+    return src
+
+
+def merge_state_dicts(base: Mapping, extra: Mapping) -> Dict:
+    """strict=False-style merge: extra keys override base
+    (`unet_3d_mix.py:637-684` motion-module merge)."""
+    out = dict(base)
+    out.update(extra)
+    return out

@@ -1,0 +1,228 @@
+"""Pallas TPU flash attention for the UNet's spatial self-attention.
+
+Why: at 768^2 the top UNet level runs self-attention over S=9216 tokens; a
+dense implementation materializes (B*heads, S, S) logits — ~43 GB fp32 for a
+16-frame CFG batch — which cannot live in HBM. This kernel streams K/V blocks
+through an online-softmax accumulator so memory is O(S * head_dim).
+
+Shape strategy (tuned to SD1.5 geometry, heads=8, head_dim in {40, 80, 160}):
+- head_dim is zero-padded to 128 lanes outside the kernel (zero K columns do
+  not change Q.K^T; zero V columns are sliced off after).
+- grid = (batch*heads, S/q_block); K/V for one batch-head stay resident in
+  VMEM (S=9216: 2.4 MB bf16 each) while the kernel walks K blocks with a
+  fori_loop carrying (max, sumexp, acc) in fp32.
+- Sequences not divisible by the block size (mid/low UNet levels: 576, 144
+  tokens) use the dense XLA path — their logits are tiny.
+
+The public entry ``attention`` dispatches flash/dense per shape & backend and
+is installed as the global attention impl for models.layers.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import layers as _layers
+
+LANES = 128
+DEFAULT_Q_BLOCK = 256
+DEFAULT_K_BLOCK = 512
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, k_block: int, scale: float):
+    """One (batch-head, q-block) program: online softmax over K blocks."""
+    q = q_ref[...].astype(jnp.bfloat16)  # (bq, D)
+    bq, D = q.shape
+    kv_len = k_ref.shape[0]
+    n_blocks = kv_len // k_block
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, D), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[pl.ds(i * k_block, k_block), :].astype(jnp.bfloat16)
+        v = v_ref[pl.ds(i * k_block, k_block), :].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bk)
+        s = s * scale
+        m_blk = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        p = jnp.exp(s - m_new)  # (bq, bk) fp32
+        correction = jnp.exp(m - m_new)
+        l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, D)
+        acc_new = acc * correction + pv
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    o_ref[...] = (acc / l).astype(o_ref.dtype)
+
+
+def flash_attention_padded(
+    q: jnp.ndarray,  # (BH, S, 128)
+    k: jnp.ndarray,  # (BH, Skv, 128)
+    v: jnp.ndarray,  # (BH, Skv, 128)
+    scale: float,
+    q_block: int = DEFAULT_Q_BLOCK,
+    k_block: int = DEFAULT_K_BLOCK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    BH, S, D = q.shape
+    Skv = k.shape[1]
+    assert D % LANES == 0 and S % q_block == 0 and Skv % k_block == 0
+
+    kernel = functools.partial(_flash_kernel, k_block=k_block, scale=scale)
+    grid = (BH, S // q_block)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, q_block, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Skv, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Skv, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, q_block, D), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, S, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * S * Skv * D,
+            bytes_accessed=2 * BH * (S + 2 * Skv) * D,
+            transcendentals=BH * S * Skv,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _split_heads(x, B, s, heads, hd, D):
+    x = x.reshape(B, s, heads, hd).transpose(0, 2, 1, 3)
+    x = x.reshape(B * heads, s, hd)
+    if hd < D:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, D - hd)))
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, heads, q_block, k_block, interpret):
+    B, S, C = q.shape
+    Skv = k.shape[1]
+    hd = C // heads
+    scale = 1.0 / math.sqrt(hd)
+    # pad head_dim up to a lane multiple (40/80 -> 128, 160 -> 256)
+    D = ((hd + LANES - 1) // LANES) * LANES
+    o = flash_attention_padded(
+        _split_heads(q, B, S, heads, hd, D),
+        _split_heads(k, B, Skv, heads, hd, D),
+        _split_heads(v, B, Skv, heads, hd, D),
+        scale, q_block=q_block, k_block=k_block, interpret=interpret,
+    )
+    o = o[:, :, :hd].reshape(B, heads, S, hd).transpose(0, 2, 1, 3)
+    return o.reshape(B, S, C)
+
+
+def _flash_fwd(q, k, v, heads, q_block, k_block, interpret):
+    return _flash(q, k, v, heads, q_block, k_block, interpret), (q, k, v)
+
+
+def _flash_bwd(heads, q_block, k_block, interpret, res, g):
+    """Chunked-dense backward: recompute P per query block so peak memory is
+    O(q_block * S) instead of O(S^2). Runs as plain XLA (one scan program)."""
+    q, k, v = res
+    B, S, C = q.shape
+    Skv = k.shape[1]
+    hd = C // heads
+    scale = 1.0 / math.sqrt(hd)
+
+    def heads_first(x, s):
+        return x.reshape(B, s, heads, hd).transpose(0, 2, 1, 3).astype(jnp.float32)
+
+    qh, kh, vh = heads_first(q, S), heads_first(k, Skv), heads_first(v, Skv)
+    gh = heads_first(g, S)
+    n_chunks = S // q_block
+    qc = qh.reshape(B, heads, n_chunks, q_block, hd).transpose(2, 0, 1, 3, 4)
+    gc = gh.reshape(B, heads, n_chunks, q_block, hd).transpose(2, 0, 1, 3, 4)
+
+    def body(carry, qg):
+        dk, dv = carry
+        q_blk, g_blk = qg  # (B, H, bq, hd)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q_blk, kh) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        dv = dv + jnp.einsum("bhqk,bhqd->bhkd", p, g_blk)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", g_blk, vh)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_blk = jnp.einsum("bhqk,bhkd->bhqd", ds, kh) * scale
+        dk = dk + jnp.einsum("bhqk,bhqd->bhkd", ds, q_blk) * scale
+        return (dk, dv), dq_blk
+
+    zeros = jnp.zeros((B, heads, Skv, hd), jnp.float32)
+    (dk, dv), dq_chunks = jax.lax.scan(body, (zeros, zeros), (qc, gc))
+
+    def merge(x, s):
+        return x.transpose(0, 2, 1, 3).reshape(B, s, C)
+
+    dq = merge(
+        dq_chunks.transpose(1, 2, 0, 3, 4).reshape(B, heads, S, hd), S
+    ).astype(q.dtype)
+    return dq, merge(dk, Skv).astype(k.dtype), merge(dv, Skv).astype(v.dtype)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int,
+    q_block: int = DEFAULT_Q_BLOCK, k_block: int = DEFAULT_K_BLOCK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-head attention on (B, S, C) tensors via the Pallas kernel;
+    differentiable via a memory-bounded chunked backward."""
+    return _flash(q, k, v, heads, q_block, k_block, interpret)
+
+
+def pick_blocks(S: int):
+    """Largest (q_block, k_block) from the 128-multiple ladder dividing S."""
+    q_block = next((b for b in (256, 128) if S % b == 0), None)
+    k_block = next((b for b in (1024, 512, 256, 128) if S % b == 0), None)
+    return q_block, k_block
+
+
+def _use_flash(S_q: int, S_kv: int) -> bool:
+    if S_q != S_kv or S_q < 1024:
+        return False
+    qb, kb = pick_blocks(S_q)
+    return qb is not None and kb is not None
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """Dispatching attention: Pallas flash on TPU for long self-attention,
+    dense XLA otherwise (cross-attention over 257 CLIP tokens, temporal
+    attention over <=32 frames, and the 576/144-token UNet levels)."""
+    S_q, S_kv = q.shape[1], k.shape[1]
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and _use_flash(S_q, S_kv):
+        qb, kb = pick_blocks(S_q)
+        return flash_attention(q, k, v, heads, q_block=qb, k_block=kb)
+    return _layers.dot_product_attention(q, k, v, heads)
+
+
+def install() -> None:
+    """Route models.layers attention through this dispatcher."""
+    _layers.set_attention_impl(attention)

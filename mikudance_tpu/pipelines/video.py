@@ -1,0 +1,302 @@
+"""MikuDance video sampling pipeline, TPU-native.
+
+Rebuilds ``MikuDanceVideoPipeline.__call__``
+(`/root/reference/src/pipelines/pipeline_mikudance.py:362-704`) as a small set
+of jitted pure functions:
+
+- All condition frames are VAE-encoded in ONE batched call (the reference
+  loops frame-at-a-time in Python, `:483-549`).
+- Reference-attention banks depend only on the 22-ch condition stack and
+  t=0, never on the denoising state — so they are computed ONCE per
+  (window, position) and reused across all DDIM steps (the reference
+  recomputes them every step x window, `:646-653`; bit-identical result,
+  ~steps x less guidance-UNet work).
+- The denoising loop is one ``lax.scan`` over timesteps. All sliding windows
+  are denoised as one batched call (window axis folded into batch) with CFG
+  folded in as well (first half uncond with zero banks — equivalent to the
+  reference's uc_mask plain-self-attention bypass, mutual_mix_attention.py:181-201).
+- Overlap fusion ("counter" accumulation, `:577-664`) is a segment-sum.
+
+CFG-embed parity: the reference tiles the [uncond, cond] CLIP pair f times for
+the guidance UNet (`:646`), so window position k receives the *uncond* embed
+when (f+k) is even. ``guidance_clip_mode="reference_inference"`` replicates
+this; ``"cond"`` gives every frame the cond embed (the training-time behavior,
+`train_stage2.py` Net.forward).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.configs import PipelineConfig
+from ..diffusion.ddim import DDIMSchedule, inference_step_pairs
+from ..models.unet import DenoisingUNet, GuidanceUNet
+from ..models.vae import Decoder, Encoder, latent_mean
+from . import context as ctx_sched
+
+SD_LATENT_SCALE = 0.18215
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """Module definitions + parameter trees for the five networks."""
+
+    guide: GuidanceUNet
+    guide_params: Any
+    den: DenoisingUNet
+    den_params: Any
+    vae_enc: Encoder
+    vae_enc_params: Any
+    vae_dec: Decoder
+    vae_dec_params: Any
+    clip: Any = None  # CLIPVisionTower
+    clip_params: Any = None
+
+
+def encode_frames(
+    vae_enc: Encoder, params, frames: jnp.ndarray, chunk: int = 8
+) -> jnp.ndarray:
+    """VAE-encode frames (N, H, W, 3) -> scaled latent means, streamed in
+    chunks via ``lax.map`` (full-res encoder activations are huge: one 768^2
+    frame keeps ~1.5 GB of bf16 activations live, so N frames at once would
+    not fit HBM; the reference streams frame-at-a-time in Python,
+    `pipeline_mikudance.py:483-549` — here it is a compiled loop)."""
+    N = frames.shape[0]
+    chunk = min(chunk, N)
+    pad = (-N) % chunk
+    fr = jnp.pad(frames, ((0, pad),) + ((0, 0),) * (frames.ndim - 1))
+    fr = fr.reshape((-1, chunk) + frames.shape[1:])
+    lats = jax.lax.map(lambda f: latent_mean(vae_enc.apply(params, f)), fr)
+    lats = lats.reshape((-1,) + lats.shape[2:])[:N]
+    return lats * SD_LATENT_SCALE
+
+
+def build_condition_stack(
+    ref_latent: jnp.ndarray,  # (1, h, w, 4)
+    skel_latent: jnp.ndarray,  # (1, h, w, 4)
+    pose_latents: jnp.ndarray,  # (T, h, w, 4)
+    face_latents: jnp.ndarray,  # (T, h, w, 4)
+    hand_latents: jnp.ndarray,  # (T, h, w, 4)
+) -> jnp.ndarray:
+    """Per-frame 20-channel condition stack, channel order as the reference
+    concat (`pipeline_mikudance.py:557-567`): [ref, skel, pose, face, hand]."""
+    T = pose_latents.shape[0]
+    ref = jnp.broadcast_to(ref_latent, (T,) + ref_latent.shape[1:])
+    skel = jnp.broadcast_to(skel_latent, (T,) + skel_latent.shape[1:])
+    return jnp.concatenate([ref, skel, pose_latents, face_latents, hand_latents], axis=-1)
+
+
+def guidance_context_for_windows(
+    windows: np.ndarray,  # (nw, wf)
+    ctx_cond: jnp.ndarray,  # (1, S, 768)
+    ctx_uncond: jnp.ndarray,  # (1, S, 768)
+    mode: str,
+) -> jnp.ndarray:
+    """(nw*wf, S, 768) CLIP context for the guidance UNet, per window position."""
+    nw, wf = windows.shape
+    if mode == "cond":
+        return jnp.broadcast_to(ctx_cond, (nw * wf,) + ctx_cond.shape[1:])
+    if mode == "reference_inference":
+        # reference tiles [u, c] f times; cond half position k gets index f+k.
+        use_uncond = (np.arange(wf) + wf) % 2 == 0  # (wf,)
+        mask = jnp.asarray(np.tile(use_uncond, nw))[:, None, None]
+        return jnp.where(mask, ctx_uncond, ctx_cond)
+    raise ValueError(f"unknown guidance_clip_mode {mode!r}")
+
+
+class VideoPipeline:
+    """Host-side orchestrator around the jitted sampling functions."""
+
+    def __init__(
+        self,
+        bundle: ModelBundle,
+        config: PipelineConfig = PipelineConfig(),
+        schedule: Optional[DDIMSchedule] = None,
+    ):
+        self.bundle = bundle
+        self.config = config
+        self.schedule = schedule or DDIMSchedule.create(
+            beta_schedule=config.scheduler.beta_schedule,
+            prediction_type=config.scheduler.prediction_type,
+            rescale_betas_zero_snr=config.scheduler.rescale_betas_zero_snr,
+            num_train_timesteps=config.scheduler.num_train_timesteps,
+            beta_start=config.scheduler.beta_start,
+            beta_end=config.scheduler.beta_end,
+        )
+        # IMPORTANT: every jitted function takes the parameter trees as
+        # explicit arguments — closing over them would bake ~GBs of weights
+        # into the jaxpr as compile-time constants and stall XLA.
+        self._denoise_jit = jax.jit(
+            self._denoise, static_argnames=("num_windows", "window_len")
+        )
+        self._encode_jit = jax.jit(partial(encode_frames, self.bundle.vae_enc))
+        self._decode_jit = jax.jit(self._decode)
+        self._banks_jit = jax.jit(self._compute_banks)
+
+    # ------------------------------------------------------------------ banks
+    def _compute_banks(
+        self, guide_params, window_cond: jnp.ndarray, window_motion: jnp.ndarray,
+        g_ctx: jnp.ndarray,
+    ) -> Dict[str, jnp.ndarray]:
+        """Guidance UNet over all (window, position) condition frames; t=0."""
+        n = window_cond.shape[0]
+        t0 = jnp.zeros((n,), jnp.int32)
+        return self.bundle.guide.apply(guide_params, window_cond, window_motion, t0, g_ctx)
+
+    # ---------------------------------------------------------------- denoise
+    def _denoise(
+        self,
+        den_params,
+        noise: jnp.ndarray,  # (T, h, w, 4) initial latents (sigma-scaled outside)
+        banks: Dict[str, jnp.ndarray],  # each (nw*wf, S, C) cond-half banks
+        ctx_cond: jnp.ndarray,  # (1, S, 768)
+        windows: jnp.ndarray,  # (nw, wf) int32
+        counts: jnp.ndarray,  # (T,) float32 window coverage per frame
+        ts: jnp.ndarray,  # (steps,) int32
+        prev_ts: jnp.ndarray,  # (steps,) int32
+        guidance_scale: jnp.ndarray,  # scalar
+        *,
+        num_windows: int,
+        window_len: int,
+    ) -> jnp.ndarray:
+        nw, wf = num_windows, window_len
+        T = noise.shape[0]
+        compute_dtype = self.bundle.den.dtype
+
+        # CFG batch: first nw windows uncond (zero banks), last nw cond.
+        banks2 = {
+            k: jnp.concatenate([jnp.zeros_like(v), v], axis=0) for k, v in banks.items()
+        }
+        ctx_u = jnp.zeros_like(ctx_cond)
+        ctx2 = jnp.concatenate(
+            [
+                jnp.broadcast_to(ctx_u, (nw,) + ctx_cond.shape[1:]),
+                jnp.broadcast_to(ctx_cond, (nw,) + ctx_cond.shape[1:]),
+            ],
+            axis=0,
+        ).astype(compute_dtype)
+
+        flat_idx = windows.reshape(-1)  # (nw*wf,)
+        do_cfg = guidance_scale  # scalar, used in fp32 math
+
+        def step_fn(latents, t_pair):
+            t, t_prev = t_pair
+            win = latents[windows]  # (nw, wf, h, w, 4)
+            batch = jnp.concatenate([win, win], axis=0).astype(compute_dtype)
+            t_b = jnp.full((2 * nw,), t, jnp.int32)
+            pred = self.bundle.den.apply(
+                den_params, batch, t_b, ctx2, banks2
+            ).astype(jnp.float32)  # (2nw, wf, h, w, 4)
+
+            pred_u, pred_c = pred[:nw], pred[nw:]
+            sum_u = jax.ops.segment_sum(
+                pred_u.reshape((nw * wf,) + pred_u.shape[2:]), flat_idx, num_segments=T
+            )
+            sum_c = jax.ops.segment_sum(
+                pred_c.reshape((nw * wf,) + pred_c.shape[2:]), flat_idx, num_segments=T
+            )
+            inv = (1.0 / counts.astype(jnp.float32))[:, None, None, None]
+            mean_u, mean_c = sum_u * inv, sum_c * inv
+            noise_pred = mean_u + do_cfg * (mean_c - mean_u)
+            return self.schedule.step(noise_pred, t, t_prev, latents), None
+
+        latents, _ = jax.lax.scan(step_fn, noise.astype(jnp.float32), (ts, prev_ts))
+        return latents
+
+    # ----------------------------------------------------------------- decode
+    def _decode(self, dec_params, latents: jnp.ndarray, chunk: int = 4) -> jnp.ndarray:
+        """Chunk-streamed VAE decode (decoder peak activation at 768^2 is
+        ~2.4 GB bf16 per 2 frames; cf. the reference's frame-at-a-time decode,
+        `pipeline_mikudance.py:115-130`)."""
+        N = latents.shape[0]
+        chunk = min(chunk, N)
+        pad = (-N) % chunk
+        z = jnp.pad(latents, ((0, pad),) + ((0, 0),) * (latents.ndim - 1))
+        z = z.reshape((-1, chunk) + latents.shape[1:])
+        imgs = jax.lax.map(
+            lambda zz: self.bundle.vae_dec.apply(dec_params, zz / SD_LATENT_SCALE),
+            z,
+        )
+        imgs = imgs.reshape((-1,) + imgs.shape[2:])[:N]
+        return jnp.clip(imgs.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+    # ------------------------------------------------------------------- call
+    def __call__(
+        self,
+        ref_image: np.ndarray,  # (H, W, 3) in [-1, 1]
+        ref_skel: np.ndarray,  # (H, W, 3) in [0, 1]
+        pose_frames: np.ndarray,  # (T, H, W, 3) in [0, 1]
+        face_frames: np.ndarray,  # (T, H, W, 3) in [0, 1]
+        hand_frames: np.ndarray,  # (T, H, W, 3) in [0, 1]
+        scene_motion: np.ndarray,  # (T, h, w, 2) latent-res flow
+        clip_context: np.ndarray,  # (1, S, 768) CLIP image tokens of ref image
+        noise: np.ndarray,  # (T, h, w, 4) initial gaussian latents
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        decode: bool = True,
+    ) -> jnp.ndarray:
+        cfgc = self.config
+        steps = num_inference_steps or cfgc.num_inference_steps
+        scale = cfgc.guidance_scale if guidance_scale is None else guidance_scale
+        T = pose_frames.shape[0]
+
+        # 1. batched VAE encodes (one call for every condition stream)
+        all_frames = jnp.concatenate(
+            [
+                jnp.asarray(ref_image)[None],
+                jnp.asarray(ref_skel)[None],
+                jnp.asarray(pose_frames),
+                jnp.asarray(face_frames),
+                jnp.asarray(hand_frames),
+            ],
+            axis=0,
+        )
+        lat = self._encode_jit(self.bundle.vae_enc_params, all_frames)
+        ref_l, skel_l = lat[0:1], lat[1:2]
+        pose_l, face_l, hand_l = lat[2 : 2 + T], lat[2 + T : 2 + 2 * T], lat[2 + 2 * T :]
+        cond20 = build_condition_stack(ref_l, skel_l, pose_l, face_l, hand_l)
+
+        # 2. windows (static per T)
+        windows = ctx_sched.window_matrix(
+            T, cfgc.context.frames, cfgc.context.stride, cfgc.context.overlap
+        )
+        counts = jnp.asarray(ctx_sched.frame_counts(windows, T), jnp.float32)
+        nw, wf = windows.shape
+        flat = windows.reshape(-1)
+
+        # 3. banks once per (window, position)
+        ctx_cond = jnp.asarray(clip_context)
+        g_ctx = guidance_context_for_windows(
+            windows, ctx_cond, jnp.zeros_like(ctx_cond), cfgc.guidance_clip_mode
+        ).astype(self.bundle.guide.dtype)
+        banks = self._banks_jit(
+            self.bundle.guide_params,
+            cond20[flat].astype(self.bundle.guide.dtype),
+            jnp.asarray(scene_motion)[flat].astype(self.bundle.guide.dtype),
+            g_ctx,
+        )
+
+        # 4. scan over DDIM steps
+        ts, prev_ts = inference_step_pairs(self.schedule, steps)
+        latents = self._denoise_jit(
+            self.bundle.den_params,
+            jnp.asarray(noise),
+            banks,
+            ctx_cond,
+            jnp.asarray(windows),
+            counts,
+            jnp.asarray(ts),
+            jnp.asarray(prev_ts),
+            jnp.float32(scale),
+            num_windows=nw,
+            window_len=wf,
+        )
+        if not decode:
+            return latents
+        return self._decode_jit(self.bundle.vae_dec_params, latents)

@@ -1,0 +1,187 @@
+"""pjit/SPMD training steps for the two MikuDance stages.
+
+Rebuilds the reference trainers' step semantics
+(`/root/reference/scripts/train_stage1.py:478-667`,
+`train_stage2.py:560-760`) as pure jitted functions over a 1-D ``data`` mesh:
+
+- batch sharded over the mesh, params/optimizer replicated; the DDP gradient
+  all-reduce of Accelerate (`train_stage1.py:659`) is the psum XLA inserts
+  from the sharding annotations — no NCCL analog code.
+- condition dropout by scaling: an uncond step zeroes the CLIP embeds and
+  skips the reference UNet (`train_stage1.py:505,529-532`; Net.forward
+  `:67-91`); functionally, "skip the reference UNet" == "banks are zero", so
+  the graph stays static and the guidance UNet simply receives zero gradient.
+- stage 1 trains both UNets (no motion modules); stage 2 freezes everything
+  except motion modules + MAN blocks (`train_stage2.py:379-394`), expressed
+  as an optax mask over param-path labels.
+- v-prediction targets with zero-terminal-SNR schedule + min-SNR-gamma
+  weighting + noise offset (`train_stage1.py:489-652`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..diffusion.ddim import DDIMSchedule, min_snr_loss_weight
+from ..models.unet import DenoisingUNet, GuidanceUNet
+from ..pipelines.video import SD_LATENT_SCALE
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-5
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    weight_decay: float = 1e-2
+    max_grad_norm: float = 1.0
+    uncond_ratio: float = 0.1
+    noise_offset: float = 0.05
+    snr_gamma: float = 5.0
+    prediction_type: str = "v_prediction"
+    # stage 2 trains only these param-path substrings; stage 1 trains all.
+    trainable_substrings: Optional[Tuple[str, ...]] = None  # e.g. ("motion", "man_")
+
+
+def trainable_mask(params, substrings: Optional[Tuple[str, ...]]):
+    """Pytree of bools: True where the param path contains any substring."""
+    if substrings is None:
+        return jax.tree_util.tree_map(lambda _: True, params)
+
+    def mask_path(path, _):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        joined = "/".join(str(k) for k in keys)
+        return any(s in joined for s in substrings)
+
+    return jax.tree_util.tree_map_with_path(mask_path, params)
+
+
+def make_optimizer(cfg: TrainConfig, params):
+    mask = trainable_mask(params, cfg.trainable_substrings)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            cfg.learning_rate,
+            b1=cfg.adam_b1,
+            b2=cfg.adam_b2,
+            eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+    labels = jax.tree_util.tree_map(lambda m: "train" if m else "freeze", mask)
+    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Dict[str, Any]  # {"guide": ..., "den": ...}
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_train_state(cfg: TrainConfig, guide_params, den_params) -> Tuple[TrainState, Any]:
+    params = {"guide": guide_params["params"], "den": den_params["params"]}
+    tx = make_optimizer(cfg, params)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+
+
+def diffusion_loss(
+    cfg: TrainConfig,
+    schedule: DDIMSchedule,
+    guide: GuidanceUNet,
+    den: DenoisingUNet,
+    params: Dict[str, Any],
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One loss evaluation.
+
+    batch:
+      latents      (B, T, h, w, 4)  clean target latents (pre-scaled)
+      cond20       (B, T, h, w, 20) guidance stack
+      motion       (B, T, h, w, 2)  scene-motion map (zeros for stage 1)
+      clip_ctx     (B, S, 768)      CLIP image tokens
+      uncond       (B,)             1.0 where this sample drops conditioning
+    """
+    latents = batch["latents"].astype(jnp.float32)
+    B, T = latents.shape[:2]
+    r_noise, r_off, r_t = jax.random.split(rng, 3)
+
+    noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
+    if cfg.noise_offset > 0:
+        # per-sample, per-channel offset (train_stage1.py:489-493)
+        off = jax.random.normal(r_off, (B, 1, 1, 1, latents.shape[-1]), jnp.float32)
+        noise = noise + cfg.noise_offset * off
+
+    t = jax.random.randint(r_t, (B,), 0, schedule.num_train_timesteps)
+    noisy = schedule.add_noise(latents, noise, t)
+    if cfg.prediction_type == "v_prediction":
+        target = schedule.get_velocity(latents, noise, t)
+    else:
+        target = noise
+
+    uncond = batch["uncond"].astype(jnp.float32)  # (B,)
+    ctx = batch["clip_ctx"] * (1.0 - uncond)[:, None, None]
+
+    cdtype = den.dtype
+    cond_f = batch["cond20"].reshape((B * T,) + batch["cond20"].shape[2:])
+    motion_f = batch["motion"].reshape((B * T,) + batch["motion"].shape[2:])
+    ctx_f = jnp.repeat(ctx, T, axis=0)
+    banks = guide.apply(
+        {"params": params["guide"]},
+        cond_f.astype(cdtype),
+        motion_f.astype(cdtype),
+        jnp.zeros((B * T,), jnp.int32),
+        ctx_f.astype(cdtype),
+    )
+    # uncond samples skip the reference forward == zero banks (Net.forward :67-91)
+    keep = jnp.repeat(1.0 - uncond, T, axis=0)[:, None, None].astype(cdtype)
+    banks = {k: v * keep for k, v in banks.items()}
+
+    pred = den.apply(
+        {"params": params["den"]},
+        noisy.astype(cdtype),
+        t,
+        ctx.astype(cdtype),
+        banks,
+    ).astype(jnp.float32)
+
+    se = (pred - target.astype(jnp.float32)) ** 2
+    per_sample = se.reshape(B, -1).mean(axis=1)
+    if cfg.snr_gamma > 0:
+        w = min_snr_loss_weight(schedule, t, cfg.snr_gamma, cfg.prediction_type)
+        per_sample = per_sample * w
+    loss = per_sample.mean()
+    return loss, {"loss": loss, "t_mean": t.astype(jnp.float32).mean()}
+
+
+def make_train_step(
+    cfg: TrainConfig,
+    schedule: DDIMSchedule,
+    guide: GuidanceUNet,
+    den: DenoisingUNet,
+    tx,
+):
+    """Returns a jittable (state, batch, rng) -> (state, metrics) step."""
+
+    def step(state: TrainState, batch, rng):
+        def loss_fn(params):
+            return diffusion_loss(cfg, schedule, guide, den, params, batch, rng)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1)
+        return new_state, metrics
+
+    return step
+
+
+jax.tree_util.register_dataclass(
+    TrainState, data_fields=["params", "opt_state", "step"], meta_fields=[]
+)

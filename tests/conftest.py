@@ -7,7 +7,9 @@ exactly as they would on a v5e-8 slice.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment presets JAX_PLATFORMS=axon (the real TPU tunnel); tests must
+# run on the virtual CPU mesh, so force-override rather than setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU plugin and programmatically
+# sets jax_platforms="axon,cpu" (overriding the env var) — override it back.
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_default_matmul_precision", "highest")
 

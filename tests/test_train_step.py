@@ -1,0 +1,110 @@
+"""Data-parallel training-step tests on the 8-device virtual mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mikudance_tpu.core import mesh as mesh_lib
+from mikudance_tpu.core.configs import (
+    DenoisingUNetConfig,
+    GuidanceUNetConfig,
+    MotionModuleConfig,
+    UNetConfig,
+)
+from mikudance_tpu.diffusion.ddim import DDIMSchedule
+from mikudance_tpu.models.unet import DenoisingUNet, GuidanceUNet
+from mikudance_tpu.train.steps import (
+    TrainConfig,
+    init_train_state,
+    make_train_step,
+    trainable_mask,
+)
+
+TINY = UNetConfig(block_out_channels=(32, 64, 96, 96), attention_heads=4)
+B, T, h, w = 8, 2, 8, 8
+
+
+def _models():
+    guide = GuidanceUNet(GuidanceUNetConfig(unet=TINY, use_man=True))
+    den = DenoisingUNet(
+        DenoisingUNetConfig(unet=TINY, motion=MotionModuleConfig(num_attention_heads=4))
+    )
+    rng = jax.random.PRNGKey(0)
+    gp = jax.jit(guide.init)(
+        rng, jnp.zeros((1, h, w, 20)), jnp.zeros((1, h, w, 2)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 5, 768)),
+    )
+    dp = jax.jit(den.init)(
+        rng, jnp.zeros((1, 1, h, w, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 5, 768)),
+    )
+    return guide, gp, den, dp
+
+
+def _batch(seed):
+    rng = np.random.default_rng(seed)
+    return {
+        "latents": jnp.asarray(rng.normal(size=(B, T, h, w, 4)), jnp.float32),
+        "cond20": jnp.asarray(rng.normal(size=(B, T, h, w, 20)), jnp.float32),
+        "motion": jnp.asarray(rng.normal(size=(B, T, h, w, 2)), jnp.float32),
+        "clip_ctx": jnp.asarray(rng.normal(size=(B, 5, 768)), jnp.float32),
+        "uncond": jnp.asarray((rng.uniform(size=(B,)) < 0.25).astype(np.float32)),
+    }
+
+
+def test_trainable_mask_stage2():
+    _, gp, _, dp = _models()
+    params = {"guide": gp["params"], "den": dp["params"]}
+    mask = trainable_mask(params, ("motion", "man_"))
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    on = [p for p, v in flat if v]
+    off = [p for p, v in flat if not v]
+    assert on and off
+    joined_on = ["/".join(str(getattr(k, 'key', k)) for k in p) for p, v in flat if v]
+    assert all(("motion" in j) or ("man_" in j) for j in joined_on)
+
+
+@pytest.mark.parametrize("stage", ["stage1", "stage2"])
+def test_train_step_dp(stage):
+    guide, gp, den, dp = _models()
+    cfg = TrainConfig(
+        learning_rate=1e-3,
+        trainable_substrings=("motion", "man_") if stage == "stage2" else None,
+    )
+    schedule = DDIMSchedule.create(beta_schedule="scaled_linear")
+    state, tx = init_train_state(cfg, gp, dp)
+    step = make_train_step(cfg, schedule, guide, den, tx)
+
+    m = mesh_lib.make_mesh()
+    assert m.devices.size == 8
+    batch = mesh_lib.shard_batch(_batch(0), m)
+    state = mesh_lib.replicate(state, m)
+
+    jstep = jax.jit(step)
+    state1, metrics = jstep(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    state2, metrics2 = jstep(state1, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics2["loss"]))
+    assert int(state2.step) == 2
+
+    # frozen params unchanged in stage 2; trainable params moved
+    def changed(a, b):
+        return float(jnp.abs(a - b).max()) > 0
+
+    mask = trainable_mask(state.params, cfg.trainable_substrings)
+    leaves = zip(
+        jax.tree_util.tree_leaves_with_path(state.params),
+        jax.tree_util.tree_leaves(state2.params),
+        jax.tree_util.tree_leaves(mask),
+    )
+    n_changed = n_frozen_ok = 0
+    for (path, old), new, trainable in leaves:
+        if trainable:
+            n_changed += int(changed(old, new))
+        else:
+            assert not changed(old, new), f"frozen param moved: {path}"
+            n_frozen_ok += 1
+    assert n_changed > 0
+    if stage == "stage2":
+        assert n_frozen_ok > 0
