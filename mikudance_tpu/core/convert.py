@@ -322,3 +322,66 @@ def merge_state_dicts(base: Mapping, extra: Mapping) -> Dict:
     out = dict(base)
     out.update(extra)
     return out
+
+
+def conv_temporal_kernel(x) -> np.ndarray:
+    """torch Conv3d (O, I, 3, 1, 1) -> flax (3, 1, I, O)."""
+    a = _t(x)[:, :, :, 0, :]  # (O, I, 3, 1)
+    return a.transpose(2, 3, 1, 0)
+
+
+def _convert_st_resblock(src: Mapping, prefix: str, out: Dict, dst: Tuple[str, ...]):
+    """SpatioTemporalResBlock -> spatial_* + temporal_res_block + mix_factor."""
+    sp = f"{prefix}.spatial_res_block"
+    m = {
+        "norm1.weight": ("spatial_norm1", "scale", _t),
+        "norm1.bias": ("spatial_norm1", "bias", _t),
+        "conv1.weight": ("spatial_conv1", "kernel", conv_kernel),
+        "conv1.bias": ("spatial_conv1", "bias", _t),
+        "norm2.weight": ("spatial_norm2", "scale", _t),
+        "norm2.bias": ("spatial_norm2", "bias", _t),
+        "conv2.weight": ("spatial_conv2", "kernel", conv_kernel),
+        "conv2.bias": ("spatial_conv2", "bias", _t),
+        "conv_shortcut.weight": ("spatial_conv_shortcut", "kernel", conv_kernel),
+        "conv_shortcut.bias": ("spatial_conv_shortcut", "bias", _t),
+    }
+    for k, (sub, leaf, fn) in m.items():
+        key = f"{sp}.{k}"
+        if key in src:
+            _set(out, dst + (sub, leaf), fn(src[key]))
+    tp = f"{prefix}.temporal_res_block"
+    for n in ("norm1", "norm2"):
+        _set(out, dst + ("temporal_res_block", n, "scale"), _t(src[f"{tp}.{n}.weight"]))
+        _set(out, dst + ("temporal_res_block", n, "bias"), _t(src[f"{tp}.{n}.bias"]))
+    for n in ("conv1", "conv2"):
+        _set(out, dst + ("temporal_res_block", n, "conv", "kernel"),
+             conv_temporal_kernel(src[f"{tp}.{n}.weight"]))
+        _set(out, dst + ("temporal_res_block", n, "conv", "bias"), _t(src[f"{tp}.{n}.bias"]))
+    _set(out, dst + ("mix_factor",), _t(src[f"{prefix}.time_mixer.mix_factor"]).reshape(1))
+
+
+def convert_temporal_decoder(src: Mapping, num_blocks: int = 4, layers_per_block: int = 2) -> Dict:
+    """AutoencoderKLTemporalDecoder 'decoder.*' keys -> TemporalDecoder params."""
+    out: Dict[str, Any] = {}
+    _set(out, ("conv_in", "kernel"), conv_kernel(src["decoder.conv_in.weight"]))
+    _set(out, ("conv_in", "bias"), _t(src["decoder.conv_in.bias"]))
+    _convert_st_resblock(src, "decoder.mid_block.resnets.0", out, ("mid_res_0",))
+    _convert_vae_attention(src, "decoder.mid_block.attentions.0", out, ("mid_attn",))
+    _convert_st_resblock(src, "decoder.mid_block.resnets.1", out, ("mid_res_1",))
+    for i in range(num_blocks):
+        for j in range(layers_per_block + 1):
+            _convert_st_resblock(src, f"decoder.up_blocks.{i}.resnets.{j}", out,
+                                 (f"up_{i}_res_{j}",))
+        if i < num_blocks - 1:
+            _set(out, (f"up_{i}_up", "conv", "kernel"),
+                 conv_kernel(src[f"decoder.up_blocks.{i}.upsamplers.0.conv.weight"]))
+            _set(out, (f"up_{i}_up", "conv", "bias"),
+                 _t(src[f"decoder.up_blocks.{i}.upsamplers.0.conv.bias"]))
+    _set(out, ("conv_norm_out", "scale"), _t(src["decoder.conv_norm_out.weight"]))
+    _set(out, ("conv_norm_out", "bias"), _t(src["decoder.conv_norm_out.bias"]))
+    _set(out, ("conv_out", "kernel"), conv_kernel(src["decoder.conv_out.weight"]))
+    _set(out, ("conv_out", "bias"), _t(src["decoder.conv_out.bias"]))
+    _set(out, ("time_conv_out", "conv", "kernel"),
+         conv_temporal_kernel(src["time_conv_out.weight"]))
+    _set(out, ("time_conv_out", "conv", "bias"), _t(src["time_conv_out.bias"]))
+    return out

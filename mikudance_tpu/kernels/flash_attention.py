@@ -36,8 +36,52 @@ DEFAULT_K_BLOCK = 512
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, k_block: int, scale: float):
-    """One (batch-head, q-block) program: online softmax over K blocks."""
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: float):
+    """Grid (BH, nq, nk): K/V blocks stream through VMEM while fp32 online-
+    softmax state (running max / sumexp / accumulator) persists in scratch
+    across the sequential nk dimension; the output block is written at the
+    last K step."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[...].astype(jnp.bfloat16)  # (bq, D)
+    k = k_ref[...].astype(jnp.bfloat16)  # (bk, D)
+    v = v_ref[...].astype(jnp.bfloat16)  # (bk, D)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, bk) fp32
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    correction = jnp.exp(m_prev - m_new)
+    l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, D)
+    acc_ref[...] = acc_ref[...] * correction + pv
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        o_ref[...] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_kernel_resident(q_ref, k_ref, v_ref, o_ref, *, k_block: int, scale: float):
+    """Variant with the full K/V for one batch-head resident in VMEM (the
+    index map keeps the same K/V block across consecutive q-block grid steps,
+    so they are DMA'd once per batch-head). Preferred when they fit: the
+    streaming kernel re-reads K/V for every q block."""
     q = q_ref[...].astype(jnp.bfloat16)  # (bq, D)
     bq, D = q.shape
     kv_len = k_ref.shape[0]
@@ -53,28 +97,29 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, k_block: int, scale: float):
         v = v_ref[pl.ds(i * k_block, k_block), :].astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bq, bk)
-        s = s * scale
-        m_blk = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m, m_blk)
-        p = jnp.exp(s - m_new)  # (bq, bk) fp32
+        ) * scale
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
         correction = jnp.exp(m - m_new)
         l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (bq, D)
-        acc_new = acc * correction + pv
-        return m_new, l_new, acc_new
+        )
+        return m_new, l_new, acc * correction + pv
 
     m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
     o_ref[...] = (acc / l).astype(o_ref.dtype)
 
 
+# K/V for one batch-head stay VMEM-resident below this footprint (bf16, both).
+RESIDENT_KV_BYTES = 6 * 1024 * 1024
+
+
 def flash_attention_padded(
-    q: jnp.ndarray,  # (BH, S, 128)
-    k: jnp.ndarray,  # (BH, Skv, 128)
-    v: jnp.ndarray,  # (BH, Skv, 128)
+    q: jnp.ndarray,  # (BH, S, D), D a lane multiple
+    k: jnp.ndarray,  # (BH, Skv, D)
+    v: jnp.ndarray,  # (BH, Skv, D)
     scale: float,
     q_block: int = DEFAULT_Q_BLOCK,
     k_block: int = DEFAULT_K_BLOCK,
@@ -84,28 +129,60 @@ def flash_attention_padded(
     Skv = k.shape[1]
     assert D % LANES == 0 and S % q_block == 0 and Skv % k_block == 0
 
-    kernel = functools.partial(_flash_kernel, k_block=k_block, scale=scale)
-    grid = (BH, S // q_block)
+    if 2 * Skv * D * 2 <= RESIDENT_KV_BYTES:
+        kernel = functools.partial(_flash_kernel_resident, k_block=k_block, scale=scale)
+        return pl.pallas_call(
+            kernel,
+            grid=(BH, S // q_block),
+            in_specs=[
+                pl.BlockSpec((None, q_block, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, Skv, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, Skv, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((None, q_block, D), lambda b, i: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((BH, S, D), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * BH * S * Skv * D,
+                bytes_accessed=2 * BH * (2 * S + 2 * Skv) * D,
+                transcendentals=BH * S * Skv,
+            ),
+            interpret=interpret,
+        )(q, k, v)
+
+    kernel = functools.partial(_flash_kernel, scale=scale)
+    grid = (BH, S // q_block, Skv // k_block)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, q_block, D), lambda b, i: (b, i, 0),
+            pl.BlockSpec((None, q_block, D), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, Skv, D), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((None, k_block, D), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, Skv, D), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((None, k_block, D), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, q_block, D), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((None, q_block, D), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BH, S, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((q_block, LANES), jnp.float32),  # running max
+            pltpu.VMEM((q_block, LANES), jnp.float32),  # running sumexp
+            pltpu.VMEM((q_block, D), jnp.float32),  # output accumulator
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * BH * S * Skv * D,
-            bytes_accessed=2 * BH * (S + 2 * Skv) * D,
+            bytes_accessed=2 * BH * (S * D + 2 * Skv * D * (S // q_block)),
             transcendentals=BH * S * Skv,
         ),
         interpret=interpret,
@@ -212,11 +289,19 @@ def _use_flash(S_q: int, S_kv: int) -> bool:
 
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int) -> jnp.ndarray:
-    """Dispatching attention: Pallas flash on TPU for long self-attention,
-    dense XLA otherwise (cross-attention over 257 CLIP tokens, temporal
-    attention over <=32 frames, and the 576/144-token UNet levels)."""
+    """Dispatching attention: Pallas flash on TPU for long self-attention;
+    block-diagonal grouped matmuls for tiny temporal sequences (<=32 frames);
+    dense XLA otherwise (cross-attention over 257 CLIP tokens and the
+    576/144-token UNet levels)."""
+    from .small_attention import grouped_small_attention
+    from .temporal_attention import temporal_attention_fused
+
     S_q, S_kv = q.shape[1], k.shape[1]
     on_tpu = jax.default_backend() == "tpu"
+    if S_q == S_kv and S_q <= 32 and q.shape[0] >= 64:
+        if on_tpu:
+            return temporal_attention_fused(q, k, v, heads)
+        return grouped_small_attention(q, k, v, heads)
     if on_tpu and _use_flash(S_q, S_kv):
         qb, kb = pick_blocks(S_q)
         return flash_attention(q, k, v, heads, q_block=qb, k_block=kb)

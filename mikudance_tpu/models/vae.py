@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.configs import VAEConfig
+from .layers import run_attention
 from .resnet import conv3x3
 
 
@@ -57,9 +58,9 @@ class VAEAttention(nn.Module):
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
-        logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
-        w = jax.nn.softmax(logits / jnp.sqrt(jnp.float32(C)), axis=-1).astype(v.dtype)
-        h = jnp.einsum("bqk,bkc->bqc", w, v)
+        # single head of width C; at 768^2 this is a 9216-token attention and
+        # routes through the Pallas flash kernel like the UNet levels.
+        h = run_attention(q, k, v, 1)
         h = nn.Dense(C, dtype=self.dtype, name="to_out")(h)
         return x + h.reshape(B, H, W, C)
 

@@ -1,0 +1,118 @@
+"""Temporal VAE decoder (SVD/Latte ``AutoencoderKLTemporalDecoder`` geometry).
+
+The reference's ``--video_decoder`` flag swaps the SD VAE for the Latte-1
+``vae_temporal_decoder`` (`/root/reference/scripts/inference_video.py:72-79`;
+weights fetched at `tools/download_weights.py` "vae_temporal_decoder"),
+decoding 16-frame chunks with cross-frame temporal convolutions
+(`pipeline_mikudance.py:132-150`). The encoder is the standard SD encoder;
+only the decoder differs:
+
+- SpatioTemporalResBlock = spatial ResnetBlock + temporal (3,1,1)-conv
+  ResnetBlock over frames + learned sigmoid alpha blend.
+- mid block: res -> single-head attention -> res; 4 up blocks of 3 resnets.
+- final ``time_conv_out``: a (3,1,1) temporal conv on the RGB output.
+
+Layout: the decoder takes one chunk (T, h, w, 4) NHWC; temporal convs run as
+1-D convolutions along the frame axis with channel mixing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.configs import VAEConfig
+from .resnet import conv3x3
+from .vae import VAEAttention, VAEUpsample
+
+
+class TemporalConv(nn.Module):
+    """torch Conv3d(C_in, C_out, kernel=(3,1,1), padding=(1,0,0)) over frames.
+
+    Input (T, H, W, C): a 1-D conv along T with full channel mixing.
+    """
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        T, H, W, C = x.shape
+        y = x.reshape(1, T, H * W, C)
+        y = nn.Conv(
+            self.out_channels, (3, 1), padding=((1, 1), (0, 0)),
+            dtype=self.dtype, name="conv",
+        )(y)
+        return y.reshape(T, H, W, self.out_channels)
+
+
+class TemporalResnetBlock(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = TemporalConv(self.out_channels, self.dtype, name="conv1")(h)
+        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = TemporalConv(self.out_channels, self.dtype, name="conv2")(h)
+        return x + h
+
+
+class SpatioTemporalResBlock(nn.Module):
+    """Spatial resnet -> temporal resnet -> learned alpha blend
+    (diffusers ``SpatioTemporalResBlock`` with merge_strategy="learned")."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # spatial part (frames folded in batch implicitly: T is the batch axis)
+        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="spatial_norm1")(x)
+        h = nn.silu(h)
+        h = conv3x3(self.out_channels, self.dtype, "spatial_conv1")(h)
+        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="spatial_norm2")(h)
+        h = nn.silu(h)
+        h = conv3x3(self.out_channels, self.dtype, "spatial_conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="spatial_conv_shortcut")(x)
+        spatial = x + h
+
+        temporal = TemporalResnetBlock(
+            self.out_channels, self.dtype, name="temporal_res_block"
+        )(spatial)
+
+        mix = self.param("mix_factor", nn.initializers.constant(0.5), (1,))
+        alpha = nn.sigmoid(mix.astype(jnp.float32))[0].astype(spatial.dtype)
+        return alpha * spatial + (1.0 - alpha) * temporal
+
+
+class TemporalDecoder(nn.Module):
+    """Drop-in replacement for models.vae.Decoder (same apply signature);
+    input is one chunk of frames (T, h, w, 4)."""
+
+    cfg: VAEConfig = VAEConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        rev = list(reversed(self.cfg.block_out_channels))  # (512, 512, 256, 128)
+        h = conv3x3(rev[0], self.dtype, "conv_in")(z.astype(self.dtype))
+        h = SpatioTemporalResBlock(rev[0], self.dtype, name="mid_res_0")(h)
+        h = VAEAttention(rev[0], self.cfg.norm_num_groups, self.dtype, name="mid_attn")(h)
+        h = SpatioTemporalResBlock(rev[0], self.dtype, name="mid_res_1")(h)
+        for i, c in enumerate(rev):
+            for j in range(self.cfg.layers_per_block + 1):
+                h = SpatioTemporalResBlock(c, self.dtype, name=f"up_{i}_res_{j}")(h)
+            if i < len(rev) - 1:
+                h = VAEUpsample(c, self.dtype, name=f"up_{i}_up")(h)
+        h = nn.GroupNorm(self.cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype,
+                         name="conv_norm_out")(h)
+        h = nn.silu(h)
+        h = conv3x3(self.cfg.out_channels, self.dtype, "conv_out")(h)
+        return TemporalConv(self.cfg.out_channels, self.dtype, name="time_conv_out")(h)

@@ -224,7 +224,10 @@ class VideoPipeline:
             z,
         )
         imgs = imgs.reshape((-1,) + imgs.shape[2:])[:N]
-        return jnp.clip(imgs.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+        imgs = jnp.clip(imgs.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+        # Convert to uint8 ON DEVICE: the axon host link is slow (~15 MB/s
+        # D2H), so shipping the 768^2 video as fp32 would dominate wall time.
+        return jnp.round(imgs * 255.0).astype(jnp.uint8)
 
     # ------------------------------------------------------------------- call
     def __call__(

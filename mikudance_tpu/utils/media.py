@@ -32,47 +32,57 @@ def seed_everything(seed: int) -> None:
 
 
 def read_frames(path: str) -> List[Image.Image]:
-    """All frames of a video file as PIL images."""
-    import imageio.v3 as iio
+    """All frames of a video file as PIL images (cv2 backend; the reference
+    uses PyAV, `src/utils/util.py:106`)."""
+    import cv2
 
-    return [Image.fromarray(f) for f in iio.imiter(path)]
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(Image.fromarray(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)))
+    cap.release()
+    return frames
 
 
 def get_fps(path: str) -> float:
-    import imageio.v3 as iio
+    import cv2
 
-    meta = iio.immeta(path, exclude_applied=False)
-    fps = meta.get("fps")
-    if fps is None:
-        dur = meta.get("duration")
-        n = meta.get("nframes")
-        fps = (n / dur) if (dur and n and dur > 0) else 30.0
+    cap = cv2.VideoCapture(path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    cap.release()
     return float(fps)
 
 
-def save_video_grid(
-    rows: List[np.ndarray], path: str, fps: float = 30.0
-) -> None:
+def write_video(frames_u8: np.ndarray, path: str, fps: float = 30.0) -> None:
+    """(T, H, W, 3) uint8 RGB -> mp4/gif."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if os.path.splitext(path)[1].lower() == ".gif":
+        import imageio.v2 as iio
+
+        iio.mimsave(path, list(frames_u8), fps=fps)
+        return
+    import cv2
+
+    T, H, W, _ = frames_u8.shape
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (W, H))
+    for f in frames_u8:
+        w.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    w.release()
+
+
+def save_video_grid(rows: List[np.ndarray], path: str, fps: float = 30.0) -> None:
     """Stack (T, H, W, 3) float [0,1] arrays vertically and write a video.
 
     Equivalent to the reference's 3-row comparison mp4
     (`scripts/inference_video.py:228-234`).
     """
-    import imageio.v2 as iio
-
     T = rows[0].shape[0]
     assert all(r.shape[0] == T for r in rows)
     grid = np.concatenate(rows, axis=1)  # stack vertically
-    frames = (np.clip(grid, 0, 1) * 255).astype(np.uint8)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    ext = os.path.splitext(path)[1].lower()
-    if ext == ".gif":
-        iio.mimsave(path, list(frames), fps=fps)
-    else:
-        writer = iio.get_writer(path, fps=fps, codec="libx264", quality=8)
-        for f in frames:
-            writer.append_data(f)
-        writer.close()
+    write_video((np.clip(grid, 0, 1) * 255).astype(np.uint8), path, fps)
 
 
 # ------------------------------------------------------------- preprocessing

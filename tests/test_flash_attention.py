@@ -82,3 +82,54 @@ def test_flash_gradient_matches_dense():
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-2, rtol=3e-2)
         assert np.corrcoef(np.asarray(a).ravel(), np.asarray(b).ravel())[0, 1] > 0.999
+
+
+def test_streaming_kernel_parity(monkeypatch):
+    """Force the K/V-streaming kernel (used when K/V exceed VMEM, e.g. the
+    VAE's single-head 512-dim attention) and check parity."""
+    import mikudance_tpu.kernels.flash_attention as fa
+
+    monkeypatch.setattr(fa, "RESIDENT_KV_BYTES", 0)
+    rng = np.random.default_rng(11)
+    B, S, heads, hd = 2, 512, 1, 128
+    C = heads * hd
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(B, S, C)), jnp.float32) for _ in range(3)
+    )
+    want = np.asarray(dot_product_attention(q, k, v, heads))
+    got = np.asarray(
+        fa.flash_attention(q, k, v, heads, q_block=128, k_block=128, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("B,S,heads,hd", [(96, 16, 4, 40), (70, 32, 8, 40), (130, 7, 2, 16)])
+def test_grouped_small_attention_exact(B, S, heads, hd):
+    """Block-diagonal grouping is EXACT vs dense attention (incl. padding)."""
+    from mikudance_tpu.kernels.small_attention import grouped_small_attention
+
+    rng = np.random.default_rng(S)
+    C = heads * hd
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(B, S, C)), jnp.float32) for _ in range(3)
+    )
+    want = np.asarray(dot_product_attention(q, k, v, heads))
+    got = np.asarray(grouped_small_attention(q, k, v, heads))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_temporal_fused_kernel_parity():
+    """Fused Pallas temporal kernel (interpret) == dense attention."""
+    from mikudance_tpu.kernels.temporal_attention import temporal_attention_fused
+
+    rng = np.random.default_rng(21)
+    N, T, heads, hd = 50, 16, 4, 40
+    C = heads * hd
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(N, T, C)), jnp.float32) for _ in range(3)
+    )
+    want = np.asarray(dot_product_attention(q, k, v, heads))
+    got = np.asarray(
+        temporal_attention_fused(q, k, v, heads, rows_per_tile=128, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
