@@ -77,7 +77,7 @@ def test_pipeline_runs_and_decodes(pipe):
     video = pipe(ref, skel, pose, face, hand, motion, ctx, noise)
     assert video.shape == (T, H, W, 3)
     v = np.asarray(video)
-    assert np.isfinite(v).all() and v.min() >= 0.0 and v.max() <= 1.0
+    assert v.dtype == np.uint8  # on-device uint8 conversion (slow host link)
 
 
 def test_pipeline_matches_reference_style_loop(pipe):
