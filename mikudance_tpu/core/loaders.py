@@ -30,6 +30,7 @@ from .configs import (
     DenoisingUNetConfig,
     GuidanceUNetConfig,
     MotionModuleConfig,
+    UNetConfig,
 )
 from .params import cast_params
 
@@ -64,10 +65,11 @@ def load_guidance_params(
     dtype=jnp.float32,
     rng: Optional[jax.Array] = None,
     latent_hw: int = 8,
+    unet_config=None,
 ):
     """GuidanceUNet params from the released reference_unet .pth (complete,
     strict load in the reference) or random init."""
-    cfg = GuidanceUNetConfig(use_man=use_man)
+    cfg = GuidanceUNetConfig(use_man=use_man, unet=unet_config or UNetConfig())
     model = GuidanceUNet(cfg, dtype=dtype)
     if reference_unet_path and os.path.exists(reference_unet_path):
         sd = load_torch_state_dict(reference_unet_path)
@@ -90,9 +92,14 @@ def load_denoising_params(
     dtype=jnp.float32,
     rng: Optional[jax.Array] = None,
     latent_hw: int = 8,
+    unet_config=None,
 ):
     cfg = DenoisingUNetConfig(
-        motion=MotionModuleConfig(enabled=use_motion)
+        unet=unet_config or UNetConfig(),
+        motion=MotionModuleConfig(
+            enabled=use_motion,
+            num_attention_heads=(unet_config or UNetConfig()).attention_heads,
+        ),
     )
     model = DenoisingUNet(cfg, dtype=dtype)
     have_main = denoising_unet_path and os.path.exists(denoising_unet_path)

@@ -1,0 +1,140 @@
+"""Shared training-loop runner for both stages.
+
+The TPU-native equivalent of the reference trainers' scaffolding
+(`/root/reference/scripts/train_stage1.py:213-734`, `train_stage2.py:282-860`):
+Accelerate/DDP becomes a 1-D data mesh + jitted SPMD step; mlflow becomes a
+JSONL metrics log (mlflow attaches automatically when importable); checkpoint
+cadence, last-3 retention, resume-from-latest, and deployable weight export
+mirror the reference's behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import random
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import mesh as mesh_lib
+from ..diffusion.ddim import DDIMSchedule
+from ..models.vae import latent_mean, latent_sample
+from ..pipelines.video import SD_LATENT_SCALE
+from . import checkpoint as ckpt_lib
+from .steps import TrainConfig, TrainState, init_train_state, make_train_step
+
+
+class MetricsLogger:
+    """JSONL + optional mlflow (`train_stage1.py:218,421-428,674`)."""
+
+    def __init__(self, out_dir: str, run_name: str):
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, "metrics.jsonl")
+        self._mlflow = None
+        try:  # pragma: no cover - mlflow absent in this image
+            import mlflow
+
+            mlflow.start_run(run_name=run_name)
+            self._mlflow = mlflow
+        except Exception:
+            pass
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        rec = {"step": step, "time": time.time(), **metrics}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self._mlflow:
+            self._mlflow.log_metrics(metrics, step=step)
+
+
+@dataclasses.dataclass
+class EncoderFns:
+    """Frozen encoders used to prepare batches on device."""
+
+    vae_encode_sample: Callable  # (rng, imgs NHWC [-1,1]) -> scaled latents
+    vae_encode_mean: Callable  # (imgs) -> scaled latents
+    clip_encode: Callable  # (clip pixel values NHWC) -> (B, S, 768)
+
+
+def make_encoder_fns(vae_enc, vae_params, clip, clip_params) -> EncoderFns:
+    @jax.jit
+    def enc_sample(rng, imgs):
+        moments = vae_enc.apply(vae_params, imgs)
+        return latent_sample(moments, rng) * SD_LATENT_SCALE
+
+    @jax.jit
+    def enc_mean(imgs):
+        return latent_mean(vae_enc.apply(vae_params, imgs)) * SD_LATENT_SCALE
+
+    @jax.jit
+    def clip_fn(px):
+        return clip.apply(clip_params, px)
+
+    return EncoderFns(enc_sample, enc_mean, clip_fn)
+
+
+def train_loop(
+    *,
+    cfg: TrainConfig,
+    schedule: DDIMSchedule,
+    guide,
+    guide_params,
+    den,
+    den_params,
+    batches: Iterable[Dict[str, np.ndarray]],
+    prepare_batch: Callable[[Dict[str, np.ndarray], random.Random], Dict[str, jnp.ndarray]],
+    max_steps: int,
+    output_dir: str,
+    run_name: str,
+    checkpointing_steps: int = 3000,
+    log_every: int = 10,
+    seed: int = 186,
+    validation_fn: Optional[Callable[[int, TrainState], None]] = None,
+    validation_steps: int = 3000,
+    export_fn: Optional[Callable[[int, TrainState], None]] = None,
+    save_model_steps: int = 3000,
+) -> TrainState:
+    mesh = mesh_lib.make_mesh()
+    state, tx = init_train_state(cfg, guide_params, den_params)
+    mgr = ckpt_lib.make_manager(os.path.join(output_dir, "checkpoints"), keep=3)
+    state, start_step = ckpt_lib.restore_state(mgr, state)
+    if start_step:
+        print(f"resumed from checkpoint step {start_step}")
+
+    step_fn = jax.jit(make_train_step(cfg, schedule, guide, den, tx))
+    state = mesh_lib.replicate(state, mesh)
+    logger = MetricsLogger(output_dir, run_name)
+    host_rng = random.Random(seed)
+    key = jax.random.PRNGKey(seed)
+
+    step = start_step
+    t0 = time.time()
+    for batch in batches:
+        if step >= max_steps:
+            break
+        dev_batch = prepare_batch(batch, host_rng)
+        dev_batch = mesh_lib.shard_batch(dev_batch, mesh)
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, dev_batch, sub)
+        step += 1
+
+        if step % log_every == 0:
+            loss = float(metrics["loss"])
+            dt = (time.time() - t0) / log_every
+            t0 = time.time()
+            logger.log(step, {"train_loss": loss, "sec_per_step": dt})
+            print(f"step {step}: loss={loss:.5f} ({dt:.2f}s/step)")
+        if step % checkpointing_steps == 0:
+            ckpt_lib.save_state(mgr, step, jax.device_get(state))
+        if validation_fn and step % validation_steps == 0:
+            validation_fn(step, state)
+        if export_fn and step % save_model_steps == 0:
+            export_fn(step, state)
+
+    mgr.wait_until_finished()
+    return state

@@ -1,0 +1,177 @@
+"""Stage-1 trainer: reference UNet (MIX_CHAR, 20ch) + 2D denoising UNet on
+single frames. TPU-native rebuild of `/root/reference/scripts/train_stage1.py`
+(config schema mirrors `configs/train/train_stage1.yaml`).
+
+Usage:
+    python -m scripts.train_stage1 --config configs/train/train_stage1.yaml
+    python -m scripts.train_stage1 --config configs/train/train_stage1.yaml --synthetic 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="run on N synthetic samples (smoke/benchmark mode)")
+    p.add_argument("--max_steps", type=int, default=None)
+    return p.parse_args()
+
+
+def synthetic_batches(n, bs, size, steps):
+    rng = np.random.default_rng(0)
+    for _ in range(steps):
+        yield {
+            "ref_img": rng.uniform(-1, 1, (bs, size, size, 3)).astype(np.float32),
+            "tgt_img": rng.uniform(-1, 1, (bs, size, size, 3)).astype(np.float32),
+            "ref_skel_img": rng.uniform(0, 1, (bs, size, size, 3)).astype(np.float32),
+            "tgt_pose_img": rng.uniform(0, 1, (bs, size, size, 3)).astype(np.float32),
+            "tgt_face_img": rng.uniform(0, 1, (bs, size, size, 3)).astype(np.float32),
+            "tgt_hand_img": rng.uniform(0, 1, (bs, size, size, 3)).astype(np.float32),
+            "clip_img": rng.normal(0, 1, (bs, 224, 224, 3)).astype(np.float32),
+        }
+
+
+def main():
+    args = parse_args()
+    with open(args.config) as f:
+        cfg = yaml.safe_load(f)
+
+    from mikudance_tpu.core import loaders
+    from mikudance_tpu.diffusion.ddim import DDIMSchedule
+    from mikudance_tpu.train import checkpoint as ckpt_lib
+    from mikudance_tpu.train.runner import make_encoder_fns, train_loop
+    from mikudance_tpu.train.steps import TrainConfig
+
+    data_cfg = cfg.get("data", {})
+    solver = cfg.get("solver", {})
+    size = int(data_cfg.get("train_width", 768))
+    bs = int(data_cfg.get("train_bs", 8))
+    h = size // 8
+    dtype = jnp.bfloat16 if solver.get("mixed_precision", "fp16") in ("fp16", "bf16") else jnp.float32
+
+    unet_cfg = None
+    if cfg.get("unet_overrides"):
+        from mikudance_tpu.core.configs import UNetConfig
+
+        ov = cfg["unet_overrides"]
+        unet_cfg = UNetConfig(
+            block_out_channels=tuple(ov.get("block_out_channels", (320, 640, 1280, 1280))),
+            attention_heads=int(ov.get("attention_heads", 8)),
+        )
+
+    # stage 1: reference UNet without MAN (MIX_CHAR, `unet_2d_mix_char.py`),
+    # denoising UNet without motion modules (`train_stage1.py:279-283`)
+    guide, gp = loaders.load_guidance_params(
+        cfg.get("pretrained_reference_unet"), use_man=False, dtype=dtype, latent_hw=h, unet_config=unet_cfg
+    )
+    den, dp = loaders.load_denoising_params(
+        cfg.get("pretrained_denoising_unet"), use_motion=False, dtype=dtype, latent_hw=h, unet_config=unet_cfg
+    )
+    vae_enc, vep, _, _ = loaders.load_vae_params(cfg.get("vae_model_path"), dtype=dtype, hw=size)
+    clip, cp = loaders.load_clip_params(cfg.get("image_encoder_path"), dtype=dtype)
+    enc = make_encoder_fns(vae_enc, vep, clip, cp)
+
+    sched_kwargs = cfg.get("noise_scheduler_kwargs", {})
+    zero_snr = bool(cfg.get("enable_zero_snr", True))
+    schedule = DDIMSchedule.create(
+        num_train_timesteps=int(sched_kwargs.get("num_train_timesteps", 1000)),
+        beta_start=float(sched_kwargs.get("beta_start", 0.00085)),
+        beta_end=float(sched_kwargs.get("beta_end", 0.012)),
+        beta_schedule=sched_kwargs.get("beta_schedule", "scaled_linear"),
+        prediction_type="v_prediction" if zero_snr else "epsilon",
+        rescale_betas_zero_snr=zero_snr,
+    )
+
+    tcfg = TrainConfig(
+        learning_rate=float(solver.get("learning_rate", 1e-5)),
+        weight_decay=float(solver.get("adam_weight_decay", 1e-2)),
+        max_grad_norm=float(solver.get("max_grad_norm", 1.0)),
+        uncond_ratio=float(cfg.get("uncond_ratio", 0.1)),
+        noise_offset=float(cfg.get("noise_offset", 0.05)),
+        snr_gamma=float(cfg.get("snr_gamma", 5.0)),
+        prediction_type="v_prediction" if zero_snr else "epsilon",
+        trainable_substrings=None,  # stage 1 trains both UNets fully
+    )
+
+    enc_rng = {"key": jax.random.PRNGKey(cfg.get("seed", 186))}
+
+    def prepare_batch(batch, host_rng: random.Random):
+        enc_rng["key"], sub = jax.random.split(enc_rng["key"])
+        lat = enc.vae_encode_sample(sub, jnp.asarray(batch["tgt_img"], dtype))
+        conds = jnp.concatenate(
+            [jnp.asarray(batch[k], dtype) for k in
+             ("ref_img", "ref_skel_img", "tgt_pose_img", "tgt_face_img", "tgt_hand_img")],
+            axis=0,
+        )
+        cond_lat = enc.vae_encode_mean(conds)
+        B = lat.shape[0]
+        parts = [cond_lat[i * B:(i + 1) * B] for i in range(5)]
+        cond20 = jnp.concatenate(parts, axis=-1)
+        ctx = enc.clip_encode(jnp.asarray(batch["clip_img"], dtype))
+        uncond = float(host_rng.random() < tcfg.uncond_ratio)  # batch-level flip (:505)
+        return {
+            "latents": lat[:, None].astype(jnp.float32),
+            "cond20": cond20[:, None].astype(jnp.float32),
+            "motion": jnp.zeros((B, 1) + cond20.shape[1:3] + (2,), jnp.float32),
+            "clip_ctx": ctx.astype(jnp.float32),
+            "uncond": jnp.full((B,), uncond, jnp.float32),
+        }
+
+    exp_name = cfg.get("exp_name", "train_stage1_mikudance")
+    out_dir = os.path.join(cfg.get("output_dir", "./train_output"), exp_name)
+    max_steps = args.max_steps or int(solver.get("max_train_steps", 120000))
+
+    if args.synthetic:
+        batches = synthetic_batches(args.synthetic, bs, size, max_steps)
+    else:
+        import json
+
+        from mikudance_tpu.data.datasets import AnimeImageDataset, ImageSample, PrefetchLoader
+
+        with open(cfg["data_manifest"]) as f:
+            manifest = json.load(f)
+        ds = AnimeImageDataset(
+            [ImageSample(**s) for s in manifest],
+            img_size=(size, size),
+            drop_ratio=float(data_cfg.get("drop_ratio", 0.1)),
+            style_ratio=float(data_cfg.get("style_ratio", 0.01)),
+        )
+        batches = iter(PrefetchLoader(ds, bs))
+
+    def export_fn(step, state):
+        ckpt_lib.export_params(
+            jax.device_get(state.params["guide"]),
+            os.path.join(out_dir, f"reference_unet-{step}.msgpack"),
+        )
+        ckpt_lib.export_params(
+            jax.device_get(state.params["den"]),
+            os.path.join(out_dir, f"denoising_unet-{step}.msgpack"),
+        )
+
+    train_loop(
+        cfg=tcfg, schedule=schedule, guide=guide, guide_params=gp, den=den,
+        den_params=dp, batches=batches, prepare_batch=prepare_batch,
+        max_steps=max_steps, output_dir=out_dir, run_name=exp_name,
+        checkpointing_steps=int(cfg.get("checkpointing_steps", 3000)),
+        seed=int(cfg.get("seed", 186)),
+        export_fn=export_fn,
+        save_model_steps=int(cfg.get("save_model_step_interval", 3000)),
+    )
+
+
+if __name__ == "__main__":
+    main()
