@@ -1,0 +1,96 @@
+"""Skeleton-map renderers (pose / face / hand conditioning images).
+
+Rebuilds the reference's matplotlib renderers
+(`/root/reference/src/XPose/inference_xpose_on_video.py:48-145` pose,
+`:146-302` face, `:303-423` hand) with cv2 drawing on a black canvas (the
+video driver renders on black, `:1106`). The COLOR maps and topology are the
+visual contract (`README.md:173`) and come from toolbox.keypoints; widths
+replicate the reference's point sizes converted to pixels:
+
+- pose links: matplotlib linewidth (13/1344)*min(W,H) pt at default 100 dpi
+  -> px = pt * 100/72, round caps; pose keypoint markers are size 0 (unused).
+- face/hand: white 2 pt lines and 4 pt colored dot markers at 108 dpi.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import cv2
+import numpy as np
+
+from . import keypoints as kp
+
+
+def _px(points: np.ndarray, W: int, H: int) -> np.ndarray:
+    """normalized (N, 2) [0,1] keypoints -> pixel coords."""
+    return np.stack([points[:, 0] * W, points[:, 1] * H], axis=-1)
+
+
+def _draw_line(canvas, p0, p1, color_rgb, width):
+    cv2.line(
+        canvas,
+        (int(round(p0[0])), int(round(p0[1]))),
+        (int(round(p1[0])), int(round(p1[1]))),
+        tuple(int(c) for c in color_rgb),
+        max(1, int(round(width))),
+        lineType=cv2.LINE_AA,
+    )
+
+
+def render_pose(
+    keypoints: np.ndarray,  # (17, 2) normalized, or (N_persons, 17, 2)
+    width: int,
+    height: int,
+    canvas: Optional[np.ndarray] = None,
+    visibility: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """17-keypoint body skeleton with the reference's per-link colormap."""
+    if canvas is None:
+        canvas = np.zeros((height, width, 3), np.uint8)
+    persons = keypoints if keypoints.ndim == 3 else keypoints[None]
+    lw = (13.0 / 1344.0) * min(width, height) * (100.0 / 72.0)
+    for person in persons:
+        pts = _px(person, width, height)
+        for i, (a, b) in enumerate(kp.PERSON_SKELETON):
+            if visibility is not None and not (visibility[a - 1] and visibility[b - 1]):
+                continue
+            _draw_line(canvas, pts[a - 1], pts[b - 1], kp.POSE_LINK_COLORS[i], lw)
+    return canvas
+
+
+def _render_dotted(
+    keypoints, width, height, skeleton, colors, canvas, dot_pt=4.0, line_pt=2.0, dpi=108.0
+):
+    if canvas is None:
+        canvas = np.zeros((height, width, 3), np.uint8)
+    persons = keypoints if keypoints.ndim == 3 else keypoints[None]
+    lw = line_pt * dpi / 72.0
+    r = 0.5 * dot_pt * dpi / 72.0
+    for person in persons:
+        pts = _px(person, width, height)
+        for a, b in skeleton:
+            _draw_line(canvas, pts[a], pts[b], (255, 255, 255), lw)
+        for i, p in enumerate(pts):
+            c = tuple(int(255 * v) for v in colors[i])
+            cv2.circle(
+                canvas, (int(round(p[0])), int(round(p[1]))), max(1, int(round(r))),
+                c, -1, lineType=cv2.LINE_AA,
+            )
+    return canvas
+
+
+def render_face(
+    keypoints: np.ndarray, width: int, height: int, canvas: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """68-keypoint face: white contour lines + name-rule colored dots."""
+    colors = [kp.face_kpt_color(n) for n in kp.FACE_KEYPOINTS]
+    return _render_dotted(keypoints, width, height, kp.FACE_SKELETON, colors, canvas)
+
+
+def render_hand(
+    keypoints: np.ndarray, width: int, height: int, canvas: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """21-keypoint hand(s): white bone lines + finger-rule colored dots."""
+    colors = [kp.hand_kpt_color(n) for n in kp.HAND_KEYPOINTS]
+    return _render_dotted(keypoints, width, height, kp.HAND_SKELETON, colors, canvas)
