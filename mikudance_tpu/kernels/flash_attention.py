@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models import layers as _layers
 
 LANES = 128
+FORCE_XLA = False  # set True to bypass Pallas (non-TPU compile targets)
 DEFAULT_Q_BLOCK = 256
 DEFAULT_K_BLOCK = 512
 NEG_INF = -1e30
@@ -297,7 +298,10 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int) -> jnp
     from .temporal_attention import temporal_attention_fused
 
     S_q, S_kv = q.shape[1], k.shape[1]
-    on_tpu = jax.default_backend() == "tpu"
+    # FORCE_XLA routes around the Pallas kernels — used when tracing for a
+    # non-default backend (e.g. the virtual CPU mesh while the axon TPU is the
+    # default backend, where jax.default_backend() misleads the dispatch).
+    on_tpu = (not FORCE_XLA) and jax.default_backend() == "tpu"
     if S_q == S_kv and S_q <= 32 and q.shape[0] >= 64:
         if on_tpu:
             return temporal_attention_fused(q, k, v, heads)

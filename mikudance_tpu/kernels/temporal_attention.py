@@ -57,6 +57,7 @@ def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, T: int, heads: int, scale: f
     o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def temporal_attention_fused(
     q: jnp.ndarray,  # (N, T, C)
     k: jnp.ndarray,
@@ -102,3 +103,20 @@ def temporal_attention_fused(
     )(qf, kf, vf)
     o = o.reshape(-1, T, C)
     return o[:N] if pad_n else o
+
+
+def _fused_fwd(q, k, v, heads, rows_per_tile, interpret):
+    return temporal_attention_fused(q, k, v, heads, rows_per_tile, interpret), (q, k, v)
+
+
+def _fused_bwd(heads, rows_per_tile, interpret, res, g):
+    """Backward via the XLA grouped implementation (differentiable, exact,
+    and cheap at T<=32; the Pallas kernel serves the forward hot path)."""
+    from .small_attention import grouped_small_attention
+
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: grouped_small_attention(a, b, c, heads), q, k, v)
+    return vjp(g)
+
+
+temporal_attention_fused.defvjp(_fused_fwd, _fused_bwd)
