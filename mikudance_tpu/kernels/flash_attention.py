@@ -275,10 +275,25 @@ def flash_attention(
     return _flash(q, k, v, heads, q_block, k_block, interpret)
 
 
+def _largest_divisor(S: int, cap: int, mult: int):
+    """Largest divisor of S that is <= cap and a multiple of `mult`."""
+    for b in range(min(cap, S) - min(cap, S) % mult, mult - 1, -mult):
+        if S % b == 0:
+            return b
+    return None
+
+
 def pick_blocks(S: int):
-    """Largest (q_block, k_block) from the 128-multiple ladder dividing S."""
+    """(q_block, k_block) dividing S. Prefer the measured-fastest 128-ladder
+    pair; fall back to any 16-multiple divisors (bf16 sublane tiling) so
+    non-128-aligned sequences (e.g. 576^2 training: 5184 = 40.5*128) still
+    run flash."""
     q_block = next((b for b in (256, 128) if S % b == 0), None)
     k_block = next((b for b in (1024, 512, 256, 128) if S % b == 0), None)
+    if q_block is None:
+        q_block = _largest_divisor(S, 512, 16)
+    if k_block is None:
+        k_block = _largest_divisor(S, 1024, 16)
     return q_block, k_block
 
 
@@ -286,7 +301,7 @@ def _use_flash(S_q: int, S_kv: int) -> bool:
     if S_q != S_kv or S_q < 1024:
         return False
     qb, kb = pick_blocks(S_q)
-    return qb is not None and kb is not None
+    return qb is not None and kb is not None and qb >= 64
 
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int) -> jnp.ndarray:

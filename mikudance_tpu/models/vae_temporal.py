@@ -49,14 +49,15 @@ class TemporalConv(nn.Module):
 
 class TemporalResnetBlock(nn.Module):
     out_channels: int
+    norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = TemporalConv(self.out_channels, self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
+        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = TemporalConv(self.out_channels, self.dtype, name="conv2")(h)
         return x + h
@@ -67,15 +68,16 @@ class SpatioTemporalResBlock(nn.Module):
     (diffusers ``SpatioTemporalResBlock`` with merge_strategy="learned")."""
 
     out_channels: int
+    norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # spatial part (frames folded in batch implicitly: T is the batch axis)
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="spatial_norm1")(x)
+        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="spatial_norm1")(x)
         h = nn.silu(h)
         h = conv3x3(self.out_channels, self.dtype, "spatial_conv1")(h)
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="spatial_norm2")(h)
+        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="spatial_norm2")(h)
         h = nn.silu(h)
         h = conv3x3(self.out_channels, self.dtype, "spatial_conv2")(h)
         if x.shape[-1] != self.out_channels:
@@ -84,7 +86,7 @@ class SpatioTemporalResBlock(nn.Module):
         spatial = x + h
 
         temporal = TemporalResnetBlock(
-            self.out_channels, self.dtype, name="temporal_res_block"
+            self.out_channels, self.norm_groups, self.dtype, name="temporal_res_block"
         )(spatial)
 
         mix = self.param("mix_factor", nn.initializers.constant(0.5), (1,))
@@ -103,12 +105,12 @@ class TemporalDecoder(nn.Module):
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         rev = list(reversed(self.cfg.block_out_channels))  # (512, 512, 256, 128)
         h = conv3x3(rev[0], self.dtype, "conv_in")(z.astype(self.dtype))
-        h = SpatioTemporalResBlock(rev[0], self.dtype, name="mid_res_0")(h)
+        h = SpatioTemporalResBlock(rev[0], self.cfg.norm_num_groups, self.dtype, name="mid_res_0")(h)
         h = VAEAttention(rev[0], self.cfg.norm_num_groups, self.dtype, name="mid_attn")(h)
-        h = SpatioTemporalResBlock(rev[0], self.dtype, name="mid_res_1")(h)
+        h = SpatioTemporalResBlock(rev[0], self.cfg.norm_num_groups, self.dtype, name="mid_res_1")(h)
         for i, c in enumerate(rev):
             for j in range(self.cfg.layers_per_block + 1):
-                h = SpatioTemporalResBlock(c, self.dtype, name=f"up_{i}_res_{j}")(h)
+                h = SpatioTemporalResBlock(c, self.cfg.norm_num_groups, self.dtype, name=f"up_{i}_res_{j}")(h)
             if i < len(rev) - 1:
                 h = VAEUpsample(c, self.dtype, name=f"up_{i}_up")(h)
         h = nn.GroupNorm(self.cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype,

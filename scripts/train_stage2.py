@@ -88,7 +88,7 @@ def main():
         cfg.get("stage1_denoising_unet"), cfg.get("mm_path"),
         use_motion=True, dtype=dtype, latent_hw=h, unet_config=unet_cfg,
     )
-    vae_enc, vep, _, _ = loaders.load_vae_params(cfg.get("vae_model_path"), dtype=dtype, hw=size)
+    vae_enc, vep, vae_dec, vdp = loaders.load_vae_params(cfg.get("vae_model_path"), dtype=dtype, hw=size)
     clip, cp = loaders.load_clip_params(cfg.get("image_encoder_path"), dtype=dtype)
     enc = make_encoder_fns(vae_enc, vep, clip, cp)
 
@@ -158,7 +158,13 @@ def main():
     max_steps = args.max_steps or int(solver.get("max_train_steps", 60000))
 
     if args.synthetic:
-        batches = synthetic_batches(bs, T, size, max_steps)
+        def _capture(it):
+            for bt in it:
+                if val_batch["holder"] is None:
+                    val_batch["holder"] = bt
+                yield bt
+
+        batches = _capture(synthetic_batches(bs, T, size, max_steps))
     else:
         import json
 
@@ -174,7 +180,50 @@ def main():
             drop_ratio=float(data_cfg.get("drop_ratio", 0.1)),
             drop_vdo_ratio=float(data_cfg.get("drop_vdo_ratio", 0.1)),
         )
-        batches = iter(PrefetchLoader(ds, bs))
+        def _capture_ds(it):
+            for bt in it:
+                if val_batch["holder"] is None:
+                    val_batch["holder"] = bt
+                yield bt
+
+        batches = _capture_ds(iter(PrefetchLoader(ds, bs)))
+
+    val_batch = {"holder": None}
+
+    def validation_fn(step, state):
+        """Golden-fixture validation: run the full video pipeline with the
+        CURRENT weights and save a GIF (the reference's log_validation,
+        `train_stage2.py:142-279,797-822`)."""
+        if val_batch["holder"] is None:
+            return
+        import numpy as np
+
+        from mikudance_tpu.core.configs import ContextConfig, PipelineConfig
+        from mikudance_tpu.pipelines.video import ModelBundle, VideoPipeline
+        from mikudance_tpu.utils.media import save_video_grid
+
+        b = val_batch["holder"]
+        bundle = ModelBundle(
+            guide, {"params": jax.device_get(state.params["guide"])},
+            den, {"params": jax.device_get(state.params["den"])},
+            vae_enc, vep, vae_dec, vdp,
+        )
+        pcfg = PipelineConfig(
+            width=size, height=size, num_inference_steps=4, guidance_scale=3.5,
+            context=ContextConfig(frames=min(T, 30), overlap=4),
+            guidance_clip_mode="cond",
+        )
+        pipe = VideoPipeline(bundle, pcfg)
+        ctx = np.asarray(enc.clip_encode(jnp.asarray(b["clip_img"][:1], dtype)).astype(jnp.float32))
+        noise = np.random.default_rng(0).normal(size=(T, h, h, 4)).astype(np.float32)
+        video = np.asarray(pipe(
+            b["ref_img"][0], b["ref_skel_img"][0], b["tgt_pose"][0],
+            b["tgt_face"][0], b["tgt_hand"][0], b["scene_motion"][0],
+            ctx, noise,
+        )).astype(np.float32) / 255.0
+        path = os.path.join(out_dir, "validation", f"step_{step}.gif")
+        save_video_grid([b["tgt_pose"][0], video], path, fps=8)
+        print(f"validation gif: {path}")
 
     def export_fn(step, state):
         # deployable motion-module-only dict (train_stage2.py:898-926) + full
@@ -199,6 +248,8 @@ def main():
         seed=int(cfg.get("seed", 186)),
         export_fn=export_fn,
         save_model_steps=int(cfg.get("save_model_step_interval", 3000)),
+        validation_fn=validation_fn,
+        validation_steps=int(cfg.get("validation_steps", cfg.get("val", {}).get("validation_steps", 3000))),
     )
 
 

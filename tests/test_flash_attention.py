@@ -49,9 +49,8 @@ def test_dispatch_rule():
     assert _use_flash(9216, 9216) and pick_blocks(9216) == (256, 1024)
     assert _use_flash(2304, 2304) and pick_blocks(2304) == (256, 256)
     assert _use_flash(4096, 4096) and pick_blocks(4096) == (256, 1024)
-    # 576^2 training latents (5184 tokens = 40.5*128) stay dense for now:
-    # flash needs a custom-VJP backward before it can serve training.
-    assert not _use_flash(5184, 5184)
+    # 576^2 training latents (5184 = 40.5*128) use 16-multiple fallback blocks
+    assert _use_flash(5184, 5184) and pick_blocks(5184) == (432, 864)
     assert not _use_flash(576, 576)  # small level -> dense
     assert not _use_flash(144, 144)
     assert not _use_flash(9216, 257)  # cross-attention -> dense
@@ -131,5 +130,20 @@ def test_temporal_fused_kernel_parity():
     want = np.asarray(dot_product_attention(q, k, v, heads))
     got = np.asarray(
         temporal_attention_fused(q, k, v, heads, rows_per_tile=128, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_flash_non128_blocks_parity():
+    """16-multiple (non-128) block sizes must stay exact (5184-token path)."""
+    rng = np.random.default_rng(31)
+    B, S, heads, hd = 1, 480, 2, 40
+    C = heads * hd
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(B, S, C)), jnp.float32) for _ in range(3)
+    )
+    want = np.asarray(dot_product_attention(q, k, v, heads))
+    got = np.asarray(
+        flash_attention(q, k, v, heads, q_block=96, k_block=160, interpret=True)
     )
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)

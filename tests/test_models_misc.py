@@ -118,3 +118,44 @@ def test_clip_tower_shapes():
     out = jax.jit(tower.apply)(p, x)
     assert out.shape == (2, 5, 48)  # 4 patches + class token, projected
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_temporal_conv_matches_torch_conv3d():
+    """TemporalConv == torch Conv3d(k=(3,1,1), p=(1,0,0)) over frames."""
+    import torch
+
+    from mikudance_tpu.core.convert import conv_temporal_kernel, _t
+    from mikudance_tpu.models.vae_temporal import TemporalConv
+
+    rng = np.random.default_rng(0)
+    T, H, W, C = 5, 4, 4, 6
+    x = rng.normal(size=(T, H, W, C)).astype(np.float32)
+    tconv = torch.nn.Conv3d(C, C, (3, 1, 1), padding=(1, 0, 0))
+    # torch layout: (1, C, T, H, W)
+    xt = torch.from_numpy(x).permute(3, 0, 1, 2)[None]
+    want = tconv(xt)[0].permute(1, 2, 3, 0).detach().numpy()
+
+    m = TemporalConv(C)
+    params = {"params": {"conv": {
+        "kernel": jnp.asarray(conv_temporal_kernel(tconv.weight)),
+        "bias": jnp.asarray(_t(tconv.bias)),
+    }}}
+    got = np.asarray(m.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_temporal_decoder_shapes():
+    from mikudance_tpu.core.configs import VAEConfig
+    from mikudance_tpu.models.vae_temporal import TemporalDecoder
+
+    cfg = VAEConfig(block_out_channels=(16, 32, 32, 32), norm_num_groups=8)
+    dec = TemporalDecoder(cfg)
+    z = jnp.zeros((3, 4, 4, 4))  # 3-frame chunk of 32x32 content
+    p = jax.jit(dec.init)(jax.random.PRNGKey(0), z)
+    out = jax.jit(dec.apply)(p, z)
+    assert out.shape == (3, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # learned alpha blend params exist per spatio-temporal block
+    flat = jax.tree_util.tree_flatten_with_path(p)[0]
+    mixes = [k for k, _ in flat if any("mix_factor" in str(getattr(x, "key", x)) for x in k)]
+    assert len(mixes) == 2 + 4 * 3  # mid 2 + 4 up blocks x 3 resnets
