@@ -81,7 +81,7 @@ def main():
     den, dp = loaders.load_denoising_params(
         cfg.get("pretrained_denoising_unet"), use_motion=False, dtype=dtype, latent_hw=h, unet_config=unet_cfg
     )
-    vae_enc, vep, _, _ = loaders.load_vae_params(cfg.get("vae_model_path"), dtype=dtype, hw=size)
+    vae_enc, vep, vae_dec, vdp = loaders.load_vae_params(cfg.get("vae_model_path"), dtype=dtype, hw=size)
     clip, cp = loaders.load_clip_params(cfg.get("image_encoder_path"), dtype=dtype)
     enc = make_encoder_fns(vae_enc, vep, clip, cp)
 
@@ -136,7 +136,13 @@ def main():
     max_steps = args.max_steps or int(solver.get("max_train_steps", 120000))
 
     if args.synthetic:
-        batches = synthetic_batches(args.synthetic, bs, size, max_steps)
+        def _capture(it):
+            for bt in it:
+                if val_batch["holder"] is None:
+                    val_batch["holder"] = bt
+                yield bt
+
+        batches = _capture(synthetic_batches(args.synthetic, bs, size, max_steps))
     else:
         import json
 
@@ -150,7 +156,52 @@ def main():
             drop_ratio=float(data_cfg.get("drop_ratio", 0.1)),
             style_ratio=float(data_cfg.get("style_ratio", 0.01)),
         )
-        batches = iter(PrefetchLoader(ds, bs))
+        def _capture_ds(it):
+            for bt in it:
+                if val_batch["holder"] is None:
+                    val_batch["holder"] = bt
+                yield bt
+
+        batches = _capture_ds(iter(PrefetchLoader(ds, bs)))
+
+    val_batch = {"holder": None}
+
+    def validation_fn(step, state):
+        """Golden-fixture validation: run the stage-1 image pipeline with the
+        CURRENT weights and save a comparison image (the reference's
+        log_validation, `train_stage1.py:124-210,683-706`)."""
+        if val_batch["holder"] is None:
+            return
+        import numpy as np
+        from PIL import Image
+
+        from mikudance_tpu.core.configs import PipelineConfig
+        from mikudance_tpu.pipelines.image import ImagePipeline
+        from mikudance_tpu.pipelines.video import ModelBundle
+
+        b = val_batch["holder"]
+        bundle = ModelBundle(
+            guide, {"params": jax.device_get(state.params["guide"])},
+            den, {"params": jax.device_get(state.params["den"])},
+            vae_enc, vep, vae_dec, vdp,
+        )
+        pcfg = PipelineConfig(
+            width=size, height=size, num_inference_steps=4, guidance_scale=3.5,
+        )
+        pipe = ImagePipeline(bundle, pcfg)
+        ctx = np.asarray(enc.clip_encode(jnp.asarray(b["clip_img"][:1], dtype)).astype(jnp.float32))
+        noise = np.random.default_rng(0).normal(size=(1, size // 8, size // 8, 4)).astype(np.float32)
+        img = np.asarray(pipe(
+            b["ref_img"][0], b["ref_skel_img"][0], b["tgt_pose_img"][0],
+            b["tgt_face_img"][0], b["tgt_hand_img"][0], ctx, noise,
+        ))[0]
+        ref_u8 = ((b["ref_img"][0] + 1) * 127.5).clip(0, 255).astype(np.uint8)
+        pose_u8 = (b["tgt_pose_img"][0] * 255).clip(0, 255).astype(np.uint8)
+        grid = np.concatenate([ref_u8, pose_u8, img], axis=1)
+        path = os.path.join(out_dir, "validation", f"step_{step}.png")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        Image.fromarray(grid).save(path)
+        print(f"validation image: {path}")
 
     def export_fn(step, state):
         ckpt_lib.export_params(
@@ -170,6 +221,8 @@ def main():
         seed=int(cfg.get("seed", 186)),
         export_fn=export_fn,
         save_model_steps=int(cfg.get("save_model_step_interval", 3000)),
+        validation_fn=validation_fn,
+        validation_steps=int(cfg.get("validation_steps", cfg.get("val", {}).get("validation_steps", 3000))),
     )
 
 
