@@ -142,6 +142,11 @@ class PipelineConfig:
     # [uncond, cond] pair f times, so window position k gets the uncond embed
     # for even k). "cond": every frame gets the cond embed (training behavior).
     guidance_clip_mode: str = "reference_inference"
+    # Post-hoc latent frame-rate upsampling (`pipeline_mikudance.py:688`):
+    # inserts 2^(factor-1)-1 slerp/lerp latents between consecutive frames.
+    # factor=1 is the no-op (the reference's effective default).
+    interpolation_factor: int = 1
+    interpolation_mode: str = "slerp"
 
 
 SD15_UNET = UNetConfig()

@@ -71,6 +71,11 @@ def temporal_attention_fused(
     scale = 1.0 / math.sqrt(hd)
 
     positions_per_tile = max(1, rows_per_tile // T)
+    # Mosaic requires the sublane extent of a tile to be a multiple of 8
+    # (unless it spans the whole array): force positions_per_tile to the
+    # multiple-of-(8/gcd(T,8)) making rows = positions_per_tile * T 8-aligned.
+    g = 8 // math.gcd(T, 8)
+    positions_per_tile = max(g, positions_per_tile - positions_per_tile % g)
     rows = positions_per_tile * T
     pad_n = (-N) % positions_per_tile
 

@@ -116,6 +116,9 @@ class Encoder(nn.Module):
 class Decoder(nn.Module):
     cfg: VAEConfig = VAEConfig()
     dtype: jnp.dtype = jnp.float32
+    # frames are independent; chunking is purely an HBM knob (the reference
+    # decodes frame-at-a-time, `pipeline_mikudance.py:115-130`)
+    decode_chunk: int = 4
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:

@@ -100,6 +100,10 @@ class TemporalDecoder(nn.Module):
 
     cfg: VAEConfig = VAEConfig()
     dtype: jnp.dtype = jnp.float32
+    # chunk size is part of the numerical contract: temporal convs couple
+    # frames within a chunk, so 16 matches the reference
+    # (`pipeline_mikudance.py:81,132-150`)
+    decode_chunk: int = 16
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:

@@ -42,6 +42,10 @@ class ImagePipeline:
         self._decode_jit = jax.jit(self._decode)
 
     def _banks(self, gp, cond20, ctx_cond):
+        # NOTE: `guidance_clip_mode` is a VIDEO-pipeline quirk only. The
+        # reference image pipeline passes the cond embed straight to the
+        # reference UNet (`pipeline_stage1_img.py:348-359`); do not copy the
+        # video pipeline's interleaved [uncond, cond] tiling here.
         d = self.bundle.guide.dtype
         return self.bundle.guide.apply(
             gp, cond20.astype(d), None, jnp.zeros((1,), jnp.int32), ctx_cond.astype(d)

@@ -10,6 +10,7 @@ default and factor=1 is the no-op.)
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -35,19 +36,25 @@ def interpolate_latents(
     factor: int,
     mode: str = "slerp",
 ) -> jnp.ndarray:
-    """Insert 2^(factor-1)-1 frames between consecutive latents."""
+    """Insert 2^(factor-1)-1 frames between consecutive latents.
+
+    Vectorized over all (pair, t) combinations so it traces to a handful of
+    fused XLA ops (the reference loops pairs in Python,
+    `pipeline_mikudance.py:330-356`). Wired into ``VideoPipeline.__call__``
+    via ``PipelineConfig.interpolation_factor`` (reference call site
+    `pipeline_mikudance.py:688`).
+    """
     if factor <= 1:
         return latents
     fn = slerp if mode == "slerp" else lerp
     n_insert = 2 ** (factor - 1) - 1
     T = latents.shape[0]
-    out = []
-    for i in range(T - 1):
-        out.append(latents[i])
-        for j in range(1, n_insert + 1):
-            t = j / (n_insert + 1)
-            a = latents[i].reshape(-1)
-            b = latents[i + 1].reshape(-1)
-            out.append(fn(a, b, t).reshape(latents.shape[1:]))
-    out.append(latents[-1])
-    return jnp.stack(out)
+    a = latents[:-1].reshape(T - 1, -1)  # (T-1, D)
+    b = latents[1:].reshape(T - 1, -1)
+    ts = jnp.arange(1, n_insert + 1, dtype=jnp.float32) / (n_insert + 1)
+    pair_fn = jax.vmap(fn, in_axes=(0, 0, None))  # over frame pairs
+    mids = jax.vmap(pair_fn, in_axes=(None, None, 0), out_axes=1)(a, b, ts)
+    seq = jnp.concatenate([a[:, None], mids], axis=1)  # (T-1, 1+n, D)
+    out = seq.reshape((T - 1) * (1 + n_insert), a.shape[-1])
+    out = jnp.concatenate([out, b[-1:]], axis=0)
+    return out.reshape((-1,) + latents.shape[1:])

@@ -39,6 +39,7 @@ from ..diffusion.ddim import DDIMSchedule, inference_step_pairs
 from ..models.unet import DenoisingUNet, GuidanceUNet
 from ..models.vae import Decoder, Encoder, latent_mean
 from . import context as ctx_sched
+from . import interpolation
 
 SD_LATENT_SCALE = 0.18215
 
@@ -75,6 +76,32 @@ def encode_frames(
     lats = jax.lax.map(lambda f: latent_mean(vae_enc.apply(params, f)), fr)
     lats = lats.reshape((-1,) + lats.shape[2:])[:N]
     return lats * SD_LATENT_SCALE
+
+
+def decode_frames(vae_dec, dec_params, latents: jnp.ndarray) -> jnp.ndarray:
+    """Chunk-streamed VAE decode of scaled latents -> images in [-1, 1].
+
+    The chunk size is owned by the decoder type (``decode_chunk``: 16 for the
+    temporal decoder, matching the reference `pipeline_mikudance.py:81,138`;
+    4 for the frame-independent SD decoder, a pure memory knob — the reference
+    decodes frame-at-a-time, `:115-130`). The remainder is decoded as its own
+    smaller chunk, NOT zero-padded: pad frames would bleed into real frames
+    through the temporal decoder's cross-frame convolutions.
+    """
+    chunk = getattr(vae_dec, "decode_chunk", 4)
+    N = latents.shape[0]
+    c = min(chunk, N)
+    n_full = N // c
+
+    def dec(zz):
+        return vae_dec.apply(dec_params, zz / SD_LATENT_SCALE)
+
+    z_full = latents[: n_full * c].reshape((n_full, c) + latents.shape[1:])
+    imgs = jax.lax.map(dec, z_full)
+    imgs = imgs.reshape((-1,) + imgs.shape[2:])
+    if N - n_full * c:
+        imgs = jnp.concatenate([imgs, dec(latents[n_full * c :])], axis=0)
+    return imgs
 
 
 def build_condition_stack(
@@ -138,6 +165,7 @@ class VideoPipeline:
         self._encode_jit = jax.jit(partial(encode_frames, self.bundle.vae_enc))
         self._decode_jit = jax.jit(self._decode)
         self._banks_jit = jax.jit(self._compute_banks)
+        self._interp_jit = jax.jit(interpolation.interpolate_latents, static_argnums=(1, 2))
 
     # ------------------------------------------------------------------ banks
     def _compute_banks(
@@ -210,20 +238,8 @@ class VideoPipeline:
         return latents
 
     # ----------------------------------------------------------------- decode
-    def _decode(self, dec_params, latents: jnp.ndarray, chunk: int = 4) -> jnp.ndarray:
-        """Chunk-streamed VAE decode (decoder peak activation at 768^2 is
-        ~2.4 GB bf16 per 2 frames; cf. the reference's frame-at-a-time decode,
-        `pipeline_mikudance.py:115-130`)."""
-        N = latents.shape[0]
-        chunk = min(chunk, N)
-        pad = (-N) % chunk
-        z = jnp.pad(latents, ((0, pad),) + ((0, 0),) * (latents.ndim - 1))
-        z = z.reshape((-1, chunk) + latents.shape[1:])
-        imgs = jax.lax.map(
-            lambda zz: self.bundle.vae_dec.apply(dec_params, zz / SD_LATENT_SCALE),
-            z,
-        )
-        imgs = imgs.reshape((-1,) + imgs.shape[2:])[:N]
+    def _decode(self, dec_params, latents: jnp.ndarray) -> jnp.ndarray:
+        imgs = decode_frames(self.bundle.vae_dec, dec_params, latents)
         imgs = jnp.clip(imgs.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
         # Convert to uint8 ON DEVICE: the axon host link is slow (~15 MB/s
         # D2H), so shipping the 768^2 video as fp32 would dominate wall time.
@@ -300,6 +316,12 @@ class VideoPipeline:
             num_windows=nw,
             window_len=wf,
         )
+        # 5. optional latent frame-rate upsampling (`pipeline_mikudance.py:688`)
+        if cfgc.interpolation_factor > 1:
+            latents = self._interp_jit(
+                latents, cfgc.interpolation_factor, cfgc.interpolation_mode
+            )
+
         if not decode:
             return latents
         return self._decode_jit(self.bundle.vae_dec_params, latents)

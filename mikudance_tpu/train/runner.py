@@ -86,7 +86,7 @@ def train_loop(
     guide_params,
     den,
     den_params,
-    batches: Iterable[Dict[str, np.ndarray]],
+    batches: Any,  # Iterable (one pass) or re-iterable / zero-arg factory (epochs)
     prepare_batch: Callable[[Dict[str, np.ndarray], random.Random], Dict[str, jnp.ndarray]],
     max_steps: int,
     output_dir: str,
@@ -114,27 +114,39 @@ def train_loop(
 
     step = start_step
     t0 = time.time()
-    for batch in batches:
-        if step >= max_steps:
-            break
-        dev_batch = prepare_batch(batch, host_rng)
-        dev_batch = mesh_lib.shard_batch(dev_batch, mesh)
-        key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, dev_batch, sub)
-        step += 1
+    # Epoch cycling: the reference DataLoader loops per epoch until max_steps
+    # (`train_stage1.py:470-478`); re-iterate `batches` (each __iter__ of
+    # PrefetchLoader reshuffles) until the step budget is spent. A plain
+    # generator exhausts after one pass and ends the loop (synthetic runs).
+    epoch = 0
+    while step < max_steps:
+        epoch_iter = iter(batches() if callable(batches) else batches)
+        saw_batch = False
+        for batch in epoch_iter:
+            saw_batch = True
+            if step >= max_steps:
+                break
+            dev_batch = prepare_batch(batch, host_rng)
+            dev_batch = mesh_lib.shard_batch(dev_batch, mesh)
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, dev_batch, sub)
+            step += 1
 
-        if step % log_every == 0:
-            loss = float(metrics["loss"])
-            dt = (time.time() - t0) / log_every
-            t0 = time.time()
-            logger.log(step, {"train_loss": loss, "sec_per_step": dt})
-            print(f"step {step}: loss={loss:.5f} ({dt:.2f}s/step)")
-        if step % checkpointing_steps == 0:
-            ckpt_lib.save_state(mgr, step, jax.device_get(state))
-        if validation_fn and step % validation_steps == 0:
-            validation_fn(step, state)
-        if export_fn and step % save_model_steps == 0:
-            export_fn(step, state)
+            if step % log_every == 0:
+                loss = float(metrics["loss"])
+                dt = (time.time() - t0) / log_every
+                t0 = time.time()
+                logger.log(step, {"train_loss": loss, "sec_per_step": dt, "epoch": epoch})
+                print(f"step {step}: loss={loss:.5f} ({dt:.2f}s/step)")
+            if step % checkpointing_steps == 0:
+                ckpt_lib.save_state(mgr, step, jax.device_get(state))
+            if validation_fn and step % validation_steps == 0:
+                validation_fn(step, state)
+            if export_fn and step % save_model_steps == 0:
+                export_fn(step, state)
+        if not saw_batch:
+            break  # exhausted generator or empty dataset: no more data
+        epoch += 1
 
     mgr.wait_until_finished()
     return state

@@ -135,13 +135,15 @@ def main():
     out_dir = os.path.join(cfg.get("output_dir", "./train_output"), exp_name)
     max_steps = args.max_steps or int(solver.get("max_train_steps", 120000))
 
-    if args.synthetic:
-        def _capture(it):
-            for bt in it:
-                if val_batch["holder"] is None:
-                    val_batch["holder"] = bt
-                yield bt
+    val_batch = {"holder": None}  # filled by the first batch; used by validation_fn
 
+    def _capture(it):
+        for bt in it:
+            if val_batch["holder"] is None:
+                val_batch["holder"] = bt
+            yield bt
+
+    if args.synthetic:
         batches = _capture(synthetic_batches(args.synthetic, bs, size, max_steps))
     else:
         import json
@@ -156,15 +158,11 @@ def main():
             drop_ratio=float(data_cfg.get("drop_ratio", 0.1)),
             style_ratio=float(data_cfg.get("style_ratio", 0.01)),
         )
-        def _capture_ds(it):
-            for bt in it:
-                if val_batch["holder"] is None:
-                    val_batch["holder"] = bt
-                yield bt
-
-        batches = _capture_ds(iter(PrefetchLoader(ds, bs)))
-
-    val_batch = {"holder": None}
+        loader = PrefetchLoader(ds, bs)
+        # zero-arg factory: train_loop re-invokes it per epoch (each __iter__
+        # reshuffles) so a 120k-step run cycles the dataset like the
+        # reference's epoch loop (`train_stage1.py:470-478`).
+        batches = lambda: _capture(iter(loader))
 
     def validation_fn(step, state):
         """Golden-fixture validation: run the stage-1 image pipeline with the

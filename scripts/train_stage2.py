@@ -157,13 +157,15 @@ def main():
     out_dir = os.path.join(cfg.get("output_dir", "./train_output"), exp_name)
     max_steps = args.max_steps or int(solver.get("max_train_steps", 60000))
 
-    if args.synthetic:
-        def _capture(it):
-            for bt in it:
-                if val_batch["holder"] is None:
-                    val_batch["holder"] = bt
-                yield bt
+    val_batch = {"holder": None}  # filled by the first batch; used by validation_fn
 
+    def _capture(it):
+        for bt in it:
+            if val_batch["holder"] is None:
+                val_batch["holder"] = bt
+            yield bt
+
+    if args.synthetic:
         batches = _capture(synthetic_batches(bs, T, size, max_steps))
     else:
         import json
@@ -180,15 +182,10 @@ def main():
             drop_ratio=float(data_cfg.get("drop_ratio", 0.1)),
             drop_vdo_ratio=float(data_cfg.get("drop_vdo_ratio", 0.1)),
         )
-        def _capture_ds(it):
-            for bt in it:
-                if val_batch["holder"] is None:
-                    val_batch["holder"] = bt
-                yield bt
-
-        batches = _capture_ds(iter(PrefetchLoader(ds, bs)))
-
-    val_batch = {"holder": None}
+        loader = PrefetchLoader(ds, bs)
+        # per-epoch factory: train_loop re-iterates until max_steps (the
+        # reference's epoch loop, `train_stage2.py:560-566`).
+        batches = lambda: _capture(iter(loader))
 
     def validation_fn(step, state):
         """Golden-fixture validation: run the full video pipeline with the

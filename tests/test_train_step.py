@@ -108,3 +108,31 @@ def test_train_step_dp(stage):
     assert n_changed > 0
     if stage == "stage2":
         assert n_frozen_ok > 0
+
+
+def test_train_loop_cycles_epochs(tmp_path):
+    """max_steps beyond one epoch must re-iterate the loader (the reference's
+    per-epoch DataLoader loop, `train_stage1.py:470-478`)."""
+    from mikudance_tpu.train.runner import train_loop
+
+    guide, gp, den, dp = _models()
+    cfg = TrainConfig(learning_rate=1e-3)
+    schedule = DDIMSchedule.create(beta_schedule="scaled_linear")
+
+    epochs = {"n": 0}
+
+    class TwoBatchLoader:
+        def __iter__(self):
+            epochs["n"] += 1
+            yield _batch(0)
+            yield _batch(1)
+
+    state = train_loop(
+        cfg=cfg, schedule=schedule, guide=guide, guide_params=gp,
+        den=den, den_params=dp, batches=TwoBatchLoader(),
+        prepare_batch=lambda b, r: b, max_steps=5,
+        output_dir=str(tmp_path), run_name="cycle-test",
+        checkpointing_steps=10**6, log_every=10**6,
+    )
+    assert int(state.step) == 5
+    assert epochs["n"] == 3  # 2 + 2 + 1 batches
