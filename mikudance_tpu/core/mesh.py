@@ -50,3 +50,38 @@ def replicate(tree, mesh: Mesh):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+# ------------------------------------------------------------ inference mesh
+
+WIN_AXIS = "win"  # CFG x sliding-window batch axis
+FRAME_AXIS = "frame"  # frames within a window (sequence parallelism)
+
+
+def choose_2d_mesh(
+    devices: Sequence[jax.Device], batch: int, frames: int
+) -> Optional[Mesh]:
+    """('win', 'frame') mesh for the inference UNet batch (2*nw, wf, ...).
+
+    The window/CFG axis is embarrassingly parallel (no collectives); the frame
+    axis costs one all_to_all pair per motion module — so prefer the largest
+    (d_win * d_frame) <= n with d_win | batch and d_frame | frames, breaking
+    ties toward more window shards. Uses a device subset when n has no full
+    factorization (e.g. 30-frame windows on 8 chips -> 6 devices). Returns
+    None when only 1 device would be used.
+    """
+    n = len(devices)
+    best = (1, 1)
+    for dw in range(1, n + 1):
+        if batch % dw:
+            continue
+        for df in range(1, n // dw + 1):
+            if frames % df:
+                continue
+            if (dw * df, dw) > (best[0] * best[1], best[0]):
+                best = (dw, df)
+    dw, df = best
+    if dw * df <= 1:
+        return None
+    arr = np.asarray(list(devices[: dw * df])).reshape(dw, df)
+    return Mesh(arr, (WIN_AXIS, FRAME_AXIS))

@@ -18,7 +18,9 @@ Rebuilds ``VanillaTemporalModule`` -> ``TemporalTransformer3DModel`` ->
 from __future__ import annotations
 
 import math
+from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -57,7 +59,19 @@ class TemporalAttentionLayer(nn.Module):
 
 
 class MotionModule(nn.Module):
-    """Full temporal transformer applied to a (B, T, H, W, C) feature map."""
+    """Full temporal transformer applied to a (B, T, H, W, C) feature map.
+
+    Frame-axis SPMD (inference sharding): when the module runs inside a
+    ``shard_map`` whose mesh shards the frame axis (`frame_axis`/`frame_shards`
+    set), every op here except the temporal attention is frame-local. The
+    temporal section reshard is Ulysses-style: one ``all_to_all`` turns
+    (spatial-local? no -> frames-local) tokens into (spatial-sharded,
+    all-frames) tokens, the attention blocks run on full sequences with full
+    positional encodings, and the inverse ``all_to_all`` restores the frame
+    sharding — numerically identical to the unsharded module. When the local
+    token count does not divide by the shard count (tiny deep levels), fall
+    back to all_gather + duplicate compute + local slice (still exact).
+    """
 
     dim: int
     heads: int = 8
@@ -67,6 +81,8 @@ class MotionModule(nn.Module):
     use_pe: bool = True
     norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    frame_axis: Optional[str] = None  # mesh axis name sharding the frame dim
+    frame_shards: int = 1  # size of that mesh axis (static)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -79,6 +95,18 @@ class MotionModule(nn.Module):
 
         # (B, T, HW, C) -> (B*HW, T, C): temporal tokens per spatial location.
         h = h.transpose(0, 2, 1, 3).reshape(B * H * W, T, self.dim)
+
+        sp = self.frame_shards if self.frame_axis is not None else 1
+        gathered = False
+        if sp > 1:
+            if (B * H * W) % sp == 0:
+                # frames-local -> spatial-sharded, all frames present
+                h = jax.lax.all_to_all(
+                    h, self.frame_axis, split_axis=0, concat_axis=1, tiled=True
+                )
+            else:
+                gathered = True
+                h = jax.lax.all_gather(h, self.frame_axis, axis=1, tiled=True)
 
         for b in range(self.num_transformer_blocks):
             for a in range(self.attention_layers):
@@ -99,6 +127,15 @@ class MotionModule(nn.Module):
             h = h + GEGLUFeedForward(self.dim, dtype=self.dtype, name=f"blocks_{b}_ff")(
                 ff_norm
             )
+
+        if sp > 1:
+            if gathered:
+                idx = jax.lax.axis_index(self.frame_axis)
+                h = jax.lax.dynamic_slice_in_dim(h, idx * T, T, axis=1)
+            else:
+                h = jax.lax.all_to_all(
+                    h, self.frame_axis, split_axis=1, concat_axis=0, tiled=True
+                )
 
         h = nn.Dense(
             C, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out"

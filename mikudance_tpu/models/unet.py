@@ -141,6 +141,12 @@ class GuidanceUNet(nn.Module):
 class DenoisingUNet(nn.Module):
     cfg: DenoisingUNetConfig = DenoisingUNetConfig()
     dtype: jnp.dtype = jnp.float32
+    # Inference SPMD: when applied inside a shard_map whose mesh shards the
+    # frame axis, set these (e.g. den.clone(frame_axis="frame", frame_shards=4))
+    # so the motion modules reshard for their cross-frame attention. Everything
+    # else in this UNet is frame-local. Param tree is unaffected.
+    frame_axis: Optional[str] = None
+    frame_shards: int = 1
 
     def _motion(self, name: str, dim: int):
         m = self.cfg.motion
@@ -152,6 +158,8 @@ class DenoisingUNet(nn.Module):
             max_len=m.temporal_position_encoding_max_len,
             use_pe=m.temporal_position_encoding,
             dtype=self.dtype,
+            frame_axis=self.frame_axis,
+            frame_shards=self.frame_shards,
             name=name,
         )
 

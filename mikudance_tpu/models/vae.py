@@ -119,6 +119,7 @@ class Decoder(nn.Module):
     # frames are independent; chunking is purely an HBM knob (the reference
     # decodes frame-at-a-time, `pipeline_mikudance.py:115-130`)
     decode_chunk: int = 4
+    frames_coupled: bool = False  # safe to shard individual frames
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:

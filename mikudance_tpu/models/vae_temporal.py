@@ -104,6 +104,7 @@ class TemporalDecoder(nn.Module):
     # frames within a chunk, so 16 matches the reference
     # (`pipeline_mikudance.py:81,132-150`)
     decode_chunk: int = 16
+    frames_coupled: bool = True  # shard whole chunks only, never frames
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:

@@ -28,12 +28,19 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
 
+try:  # moved between jax versions
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..core import mesh as mesh_lib
 from ..core.configs import PipelineConfig
 from ..diffusion.ddim import DDIMSchedule, inference_step_pairs
 from ..models.unet import DenoisingUNet, GuidanceUNet
@@ -60,34 +67,48 @@ class ModelBundle:
     clip_params: Any = None
 
 
+_SHARD_SPEC = P((mesh_lib.WIN_AXIS, mesh_lib.FRAME_AXIS))  # 1-D over all devices
+
+
+def _pad_leading(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
+
+
+def _encode_chunked(vae_enc: Encoder, params, frames: jnp.ndarray, chunk: int):
+    N = frames.shape[0]
+    chunk = min(chunk, N)
+    pad = (-N) % chunk
+    fr = _pad_leading(frames, pad)
+    fr = fr.reshape((-1, chunk) + frames.shape[1:])
+    lats = jax.lax.map(lambda f: latent_mean(vae_enc.apply(params, f)), fr)
+    return lats.reshape((-1,) + lats.shape[2:])[:N]
+
+
 def encode_frames(
-    vae_enc: Encoder, params, frames: jnp.ndarray, chunk: int = 8
+    vae_enc: Encoder, params, frames: jnp.ndarray, chunk: int = 8,
+    mesh: Optional[Mesh] = None,
 ) -> jnp.ndarray:
     """VAE-encode frames (N, H, W, 3) -> scaled latent means, streamed in
     chunks via ``lax.map`` (full-res encoder activations are huge: one 768^2
     frame keeps ~1.5 GB of bf16 activations live, so N frames at once would
     not fit HBM; the reference streams frame-at-a-time in Python,
-    `pipeline_mikudance.py:483-549` — here it is a compiled loop)."""
+    `pipeline_mikudance.py:483-549` — here it is a compiled loop). With a mesh,
+    frames are embarrassingly parallel: shard_map over the device grid, each
+    device streaming its own frame slice."""
+    if mesh is None:
+        return _encode_chunked(vae_enc, params, frames, chunk) * SD_LATENT_SCALE
+    n = mesh.devices.size
     N = frames.shape[0]
-    chunk = min(chunk, N)
-    pad = (-N) % chunk
-    fr = jnp.pad(frames, ((0, pad),) + ((0, 0),) * (frames.ndim - 1))
-    fr = fr.reshape((-1, chunk) + frames.shape[1:])
-    lats = jax.lax.map(lambda f: latent_mean(vae_enc.apply(params, f)), fr)
-    lats = lats.reshape((-1,) + lats.shape[2:])[:N]
-    return lats * SD_LATENT_SCALE
+    fr = _pad_leading(frames, (-N) % n)
+    local = shard_map(
+        lambda p, f: _encode_chunked(vae_enc, p, f, chunk),
+        mesh=mesh, in_specs=(P(), _SHARD_SPEC), out_specs=_SHARD_SPEC,
+       
+    )
+    return local(params, fr)[:N] * SD_LATENT_SCALE
 
 
-def decode_frames(vae_dec, dec_params, latents: jnp.ndarray) -> jnp.ndarray:
-    """Chunk-streamed VAE decode of scaled latents -> images in [-1, 1].
-
-    The chunk size is owned by the decoder type (``decode_chunk``: 16 for the
-    temporal decoder, matching the reference `pipeline_mikudance.py:81,138`;
-    4 for the frame-independent SD decoder, a pure memory knob — the reference
-    decodes frame-at-a-time, `:115-130`). The remainder is decoded as its own
-    smaller chunk, NOT zero-padded: pad frames would bleed into real frames
-    through the temporal decoder's cross-frame convolutions.
-    """
+def _decode_chunked(vae_dec, dec_params, latents: jnp.ndarray) -> jnp.ndarray:
     chunk = getattr(vae_dec, "decode_chunk", 4)
     N = latents.shape[0]
     c = min(chunk, N)
@@ -102,6 +123,50 @@ def decode_frames(vae_dec, dec_params, latents: jnp.ndarray) -> jnp.ndarray:
     if N - n_full * c:
         imgs = jnp.concatenate([imgs, dec(latents[n_full * c :])], axis=0)
     return imgs
+
+
+def decode_frames(
+    vae_dec, dec_params, latents: jnp.ndarray, mesh: Optional[Mesh] = None
+) -> jnp.ndarray:
+    """Chunk-streamed VAE decode of scaled latents -> images in [-1, 1].
+
+    The chunk size is owned by the decoder type (``decode_chunk``: 16 for the
+    temporal decoder, matching the reference `pipeline_mikudance.py:81,138`;
+    4 for the frame-independent SD decoder, a pure memory knob — the reference
+    decodes frame-at-a-time, `:115-130`). The remainder is decoded as its own
+    smaller chunk, NOT zero-padded: pad frames would bleed into real frames
+    through the temporal decoder's cross-frame convolutions.
+
+    With a mesh: the SD decoder shards frames over all devices; the temporal
+    decoder shards whole 16-frame chunks (its numerical unit) when they divide
+    the device count, else falls back to the single-device stream.
+    """
+    N = latents.shape[0]
+    if mesh is not None:
+        n = mesh.devices.size
+        coupled = getattr(vae_dec, "frames_coupled", False)
+        chunk = getattr(vae_dec, "decode_chunk", 4)
+        if not coupled:
+            z = _pad_leading(latents, (-N) % n)
+            local = shard_map(
+                lambda p, zz: _decode_chunked(vae_dec, p, zz),
+                mesh=mesh, in_specs=(P(), _SHARD_SPEC), out_specs=_SHARD_SPEC,
+               
+            )
+            return local(dec_params, z)[:N]
+        if N % chunk == 0 and (N // chunk) % n == 0:
+            zg = latents.reshape((N // chunk, chunk) + latents.shape[1:])
+            local = shard_map(
+                lambda p, zz: jax.lax.map(
+                    lambda c: vae_dec.apply(p, c / SD_LATENT_SCALE), zz
+                ),
+                mesh=mesh, in_specs=(P(), _SHARD_SPEC), out_specs=_SHARD_SPEC,
+               
+            )
+            out = local(dec_params, zg)
+            return out.reshape((N,) + out.shape[2:])
+        # temporal decoder with non-dividing chunk layout: exact > parallel
+    return _decode_chunked(vae_dec, dec_params, latents)
 
 
 def build_condition_stack(
@@ -145,9 +210,17 @@ class VideoPipeline:
         bundle: ModelBundle,
         config: PipelineConfig = PipelineConfig(),
         schedule: Optional[DDIMSchedule] = None,
+        devices: Optional[Sequence[jax.Device]] = None,
     ):
+        """``devices``: >1 device activates SPMD inference — the CFG x window
+        batch shards over a 'win' mesh axis and frames within a window over a
+        'frame' axis (sequence parallelism; the motion modules reshard via
+        all_to_all, see models/motion_module.py). This replaces the
+        reference's strictly single-GPU sequential window loop
+        (`pipeline_mikudance.py:624-667`, device at `inference_video.py:70`)."""
         self.bundle = bundle
         self.config = config
+        self.devices = tuple(devices) if devices is not None else None
         self.schedule = schedule or DDIMSchedule.create(
             beta_schedule=config.scheduler.beta_schedule,
             prediction_type=config.scheduler.prediction_type,
@@ -160,22 +233,48 @@ class VideoPipeline:
         # explicit arguments — closing over them would bake ~GBs of weights
         # into the jaxpr as compile-time constants and stall XLA.
         self._denoise_jit = jax.jit(
-            self._denoise, static_argnames=("num_windows", "window_len")
+            self._denoise, static_argnames=("num_windows", "window_len", "mesh")
         )
-        self._encode_jit = jax.jit(partial(encode_frames, self.bundle.vae_enc))
-        self._decode_jit = jax.jit(self._decode)
-        self._banks_jit = jax.jit(self._compute_banks)
+        self._encode_jit = jax.jit(
+            partial(encode_frames, self.bundle.vae_enc), static_argnames=("chunk", "mesh")
+        )
+        self._decode_jit = jax.jit(self._decode, static_argnames=("mesh",))
+        self._banks_jit = jax.jit(self._compute_banks, static_argnames=("mesh",))
         self._interp_jit = jax.jit(interpolation.interpolate_latents, static_argnums=(1, 2))
 
     # ------------------------------------------------------------------ banks
     def _compute_banks(
         self, guide_params, window_cond: jnp.ndarray, window_motion: jnp.ndarray,
-        g_ctx: jnp.ndarray,
+        g_ctx: jnp.ndarray, mesh: Optional[Mesh] = None,
     ) -> Dict[str, jnp.ndarray]:
-        """Guidance UNet over all (window, position) condition frames; t=0."""
-        n = window_cond.shape[0]
-        t0 = jnp.zeros((n,), jnp.int32)
-        return self.bundle.guide.apply(guide_params, window_cond, window_motion, t0, g_ctx)
+        """Guidance UNet over all (window, position) condition frames; t=0.
+        The guidance UNet is strictly per-frame, so with a mesh the frames
+        shard over all devices (zero-pad to the device count, slice after)."""
+        if mesh is None:
+            n = window_cond.shape[0]
+            t0 = jnp.zeros((n,), jnp.int32)
+            return self.bundle.guide.apply(
+                guide_params, window_cond, window_motion, t0, g_ctx
+            )
+        n_tok = window_cond.shape[0]
+        pad = (-n_tok) % mesh.devices.size
+
+        def local(p, c, m, g):
+            t0 = jnp.zeros((c.shape[0],), jnp.int32)
+            return self.bundle.guide.apply(p, c, m, t0, g)
+
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), _SHARD_SPEC, _SHARD_SPEC, _SHARD_SPEC),
+            out_specs=_SHARD_SPEC,
+        )
+        banks = fn(
+            guide_params, _pad_leading(window_cond, pad),
+            _pad_leading(window_motion, pad), _pad_leading(g_ctx, pad),
+        )
+        if pad:
+            banks = {k: v[:n_tok] for k, v in banks.items()}
+        return banks
 
     # ---------------------------------------------------------------- denoise
     def _denoise(
@@ -192,6 +291,7 @@ class VideoPipeline:
         *,
         num_windows: int,
         window_len: int,
+        mesh: Optional[Mesh] = None,
     ) -> jnp.ndarray:
         nw, wf = num_windows, window_len
         T = noise.shape[0]
@@ -210,6 +310,35 @@ class VideoPipeline:
             axis=0,
         ).astype(compute_dtype)
 
+        unet_apply = None
+        if mesh is not None:
+            # SPMD UNet: (2nw, wf) shards over the ('win', 'frame') mesh. The
+            # windows axis is collective-free; the frame axis reshards inside
+            # each motion module (all_to_all). Banks are passed 4-D so their
+            # shards line up with the UNet's internal (B*T) frame fold.
+            banks2 = {
+                k: v.reshape((2 * nw, wf) + v.shape[1:]) for k, v in banks2.items()
+            }
+            df = mesh.shape[mesh_lib.FRAME_AXIS]
+            den_sh = self.bundle.den.clone(
+                frame_axis=mesh_lib.FRAME_AXIS, frame_shards=df
+            )
+            p_win = P(mesh_lib.WIN_AXIS)
+            p_wf = P(mesh_lib.WIN_AXIS, mesh_lib.FRAME_AXIS)
+
+            def unet_local(params, batch, t_b, ctx, banks4):
+                bl, tl = batch.shape[0], batch.shape[1]
+                banks_l = jax.tree.map(
+                    lambda x: x.reshape((bl * tl,) + x.shape[2:]), banks4
+                )
+                return den_sh.apply(params, batch, t_b, ctx, banks_l)
+
+            unet_apply = shard_map(
+                unet_local, mesh=mesh,
+                in_specs=(P(), p_wf, p_win, p_win, p_wf),
+                out_specs=p_wf,
+            )
+
         flat_idx = windows.reshape(-1)  # (nw*wf,)
         do_cfg = guidance_scale  # scalar, used in fp32 math
 
@@ -218,9 +347,11 @@ class VideoPipeline:
             win = latents[windows]  # (nw, wf, h, w, 4)
             batch = jnp.concatenate([win, win], axis=0).astype(compute_dtype)
             t_b = jnp.full((2 * nw,), t, jnp.int32)
-            pred = self.bundle.den.apply(
-                den_params, batch, t_b, ctx2, banks2
-            ).astype(jnp.float32)  # (2nw, wf, h, w, 4)
+            if unet_apply is not None:
+                pred = unet_apply(den_params, batch, t_b, ctx2, banks2)
+            else:
+                pred = self.bundle.den.apply(den_params, batch, t_b, ctx2, banks2)
+            pred = pred.astype(jnp.float32)  # (2nw, wf, h, w, 4)
 
             pred_u, pred_c = pred[:nw], pred[nw:]
             sum_u = jax.ops.segment_sum(
@@ -238,8 +369,10 @@ class VideoPipeline:
         return latents
 
     # ----------------------------------------------------------------- decode
-    def _decode(self, dec_params, latents: jnp.ndarray) -> jnp.ndarray:
-        imgs = decode_frames(self.bundle.vae_dec, dec_params, latents)
+    def _decode(
+        self, dec_params, latents: jnp.ndarray, mesh: Optional[Mesh] = None
+    ) -> jnp.ndarray:
+        imgs = decode_frames(self.bundle.vae_dec, dec_params, latents, mesh=mesh)
         imgs = jnp.clip(imgs.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
         # Convert to uint8 ON DEVICE: the axon host link is slow (~15 MB/s
         # D2H), so shipping the 768^2 video as fp32 would dominate wall time.
@@ -265,6 +398,15 @@ class VideoPipeline:
         scale = cfgc.guidance_scale if guidance_scale is None else guidance_scale
         T = pose_frames.shape[0]
 
+        # 0. device mesh (multi-chip inference): axes sized from this call's
+        # static window geometry.
+        mesh = None
+        if self.devices is not None and len(self.devices) > 1:
+            nw0 = ctx_sched.window_matrix(
+                T, cfgc.context.frames, cfgc.context.stride, cfgc.context.overlap
+            ).shape
+            mesh = mesh_lib.choose_2d_mesh(self.devices, 2 * nw0[0], nw0[1])
+
         # 1. batched VAE encodes (one call for every condition stream)
         all_frames = jnp.concatenate(
             [
@@ -276,7 +418,7 @@ class VideoPipeline:
             ],
             axis=0,
         )
-        lat = self._encode_jit(self.bundle.vae_enc_params, all_frames)
+        lat = self._encode_jit(self.bundle.vae_enc_params, all_frames, mesh=mesh)
         ref_l, skel_l = lat[0:1], lat[1:2]
         pose_l, face_l, hand_l = lat[2 : 2 + T], lat[2 + T : 2 + 2 * T], lat[2 + 2 * T :]
         cond20 = build_condition_stack(ref_l, skel_l, pose_l, face_l, hand_l)
@@ -299,6 +441,7 @@ class VideoPipeline:
             cond20[flat].astype(self.bundle.guide.dtype),
             jnp.asarray(scene_motion)[flat].astype(self.bundle.guide.dtype),
             g_ctx,
+            mesh=mesh,
         )
 
         # 4. scan over DDIM steps
@@ -315,6 +458,7 @@ class VideoPipeline:
             jnp.float32(scale),
             num_windows=nw,
             window_len=wf,
+            mesh=mesh,
         )
         # 5. optional latent frame-rate upsampling (`pipeline_mikudance.py:688`)
         if cfgc.interpolation_factor > 1:
@@ -324,4 +468,4 @@ class VideoPipeline:
 
         if not decode:
             return latents
-        return self._decode_jit(self.bundle.vae_dec_params, latents)
+        return self._decode_jit(self.bundle.vae_dec_params, latents, mesh=mesh)

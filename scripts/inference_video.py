@@ -145,7 +145,12 @@ def main():
         width=width, height=height, num_inference_steps=args.steps,
         guidance_scale=args.cfg, context=ContextConfig(frames=30, overlap=8),
     )
-    pipe = VideoPipeline(bundle, pcfg)
+    # SPMD inference: on a multi-chip slice (e.g. v5e-8) the CFG/window batch
+    # and the frames within each window shard over a ('win','frame') mesh;
+    # single chip runs the plain path (the reference is single-GPU only,
+    # `inference_video.py:70`).
+    devices = jax.devices()
+    pipe = VideoPipeline(bundle, pcfg, devices=devices if len(devices) > 1 else None)
     video = np.asarray(pipe(ref, skel, pose, face, hand, motion, clip_ctx, noise))
     video_f = video.astype(np.float32) / 255.0
 
