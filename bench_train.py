@@ -1,0 +1,85 @@
+"""Stage-2 training-step benchmark: 576^2, bs 1, 20-frame clip (the
+reference's stage-2 geometry, `configs/train/train_stage2.yaml:1-24`) on the
+real TPU chip.
+
+Covers the perf paths the headline inference bench does not: the 5184-token
+(576^2 / 8 -> 72x72) flash-attention blocks and the motion-module backward.
+Prints ONE JSON line like bench.py.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from mikudance_tpu.core.configs import (  # noqa: E402
+    DenoisingUNetConfig,
+    GuidanceUNetConfig,
+)
+from mikudance_tpu.diffusion.ddim import DDIMSchedule  # noqa: E402
+from mikudance_tpu.models.unet import DenoisingUNet, GuidanceUNet  # noqa: E402
+from mikudance_tpu.train.steps import (  # noqa: E402
+    TrainConfig,
+    init_train_state,
+    make_train_step,
+)
+
+B, T, H, W = 1, 20, 576, 576
+h, w = H // 8, W // 8
+DTYPE = jnp.bfloat16
+
+
+def main():
+    rng = jax.random.PRNGKey(0)
+    guide = GuidanceUNet(GuidanceUNetConfig(), dtype=DTYPE)
+    den = DenoisingUNet(DenoisingUNetConfig(), dtype=DTYPE)
+
+    gp = jax.jit(guide.init)(
+        rng, jnp.zeros((1, h, w, 20), DTYPE), jnp.zeros((1, h, w, 2), DTYPE),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 257, 768), DTYPE),
+    )
+    dp = jax.jit(den.init)(
+        rng, jnp.zeros((1, 1, h, w, 4), DTYPE), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 257, 768), DTYPE),
+    )
+
+    cfg = TrainConfig(trainable_substrings=("motion", "man_"))  # stage-2 freeze set
+    schedule = DDIMSchedule.create(beta_schedule="scaled_linear")
+    state, tx = init_train_state(cfg, gp, dp)
+    step = jax.jit(make_train_step(cfg, schedule, guide, den, tx), donate_argnums=0)
+
+    rnp = np.random.default_rng(0)
+    batch = {
+        "latents": jnp.asarray(rnp.normal(size=(B, T, h, w, 4)), jnp.float32),
+        "cond20": jnp.asarray(rnp.normal(size=(B, T, h, w, 20)), jnp.float32),
+        "motion": jnp.asarray(rnp.normal(size=(B, T, h, w, 2)), jnp.float32),
+        "clip_ctx": jnp.asarray(rnp.normal(size=(B, 257, 768)), jnp.float32),
+        "uncond": jnp.zeros((B,), jnp.float32),
+    }
+
+    state, m = step(state, batch, jax.random.PRNGKey(1))  # compile
+    float(m["loss"])  # sync
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        state, m = step(state, batch, jax.random.PRNGKey(2 + i))
+        loss = float(m["loss"])  # force completion
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(loss)
+    sec = float(np.median(times))
+
+    print(json.dumps({
+        "metric": "sec per stage-2 train step (576^2, bs1, 20 frames, 1x v5e)",
+        "value": round(sec, 3),
+        "unit": "s",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

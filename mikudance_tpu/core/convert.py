@@ -385,3 +385,195 @@ def convert_temporal_decoder(src: Mapping, num_blocks: int = 4, layers_per_block
          conv_temporal_kernel(src["time_conv_out.weight"]))
     _set(out, ("time_conv_out", "conv", "bias"), _t(src["time_conv_out.bias"]))
     return out
+
+
+# --------------------------------------------------------------------------
+# UniPose (XPose) checkpoint converter
+# --------------------------------------------------------------------------
+
+def _convert_ln(src: Mapping, prefix: str, out: Dict, dst: Tuple[str, ...]):
+    _set(out, dst + ("scale",), _t(src[f"{prefix}.weight"]))
+    _set(out, dst + ("bias",), _t(src[f"{prefix}.bias"]))
+
+
+def _convert_dense(src: Mapping, prefix: str, out: Dict, dst: Tuple[str, ...]):
+    _set(out, dst + ("kernel",), dense_kernel(src[f"{prefix}.weight"]))
+    if f"{prefix}.bias" in src:
+        _set(out, dst + ("bias",), _t(src[f"{prefix}.bias"]))
+
+
+def _convert_mha(src: Mapping, prefix: str, out: Dict, dst: Tuple[str, ...]):
+    """torch nn.MultiheadAttention packed in_proj -> q/k/v/out Dense."""
+    w = _t(src[f"{prefix}.in_proj_weight"])  # (3C, C)
+    b = _t(src[f"{prefix}.in_proj_bias"])
+    C = w.shape[1]
+    for i, n in enumerate(("q_proj", "k_proj", "v_proj")):
+        _set(out, dst + (n, "kernel"), w[i * C:(i + 1) * C].T)
+        _set(out, dst + (n, "bias"), b[i * C:(i + 1) * C])
+    _convert_dense(src, f"{prefix}.out_proj", out, dst + ("out_proj",))
+
+
+def _convert_mlp(src: Mapping, prefix: str, out: Dict, dst: Tuple[str, ...],
+                 num_layers: int = 3):
+    for k in range(num_layers):
+        _convert_dense(src, f"{prefix}.layers.{k}", out, dst + (f"layers_{k}",))
+
+
+def _convert_deform_attn(src: Mapping, prefix: str, out: Dict, dst: Tuple[str, ...]):
+    for n in ("value_proj", "sampling_offsets", "attention_weights", "output_proj"):
+        _convert_dense(src, f"{prefix}.{n}", out, dst + (n,))
+
+
+def convert_swin(src: Mapping, prefix: str = "backbone.0",
+                 depths: Tuple[int, ...] = (2, 2, 6, 2),
+                 out_indices: Tuple[int, ...] = (1, 2, 3)) -> Dict:
+    """Swin-T detection backbone (`swin_transformer.py:429+`) -> SwinTransformer."""
+    out: Dict[str, Any] = {}
+    _set(out, ("patch_embed", "kernel"), conv_kernel(src[f"{prefix}.patch_embed.proj.weight"]))
+    _set(out, ("patch_embed", "bias"), _t(src[f"{prefix}.patch_embed.proj.bias"]))
+    _convert_ln(src, f"{prefix}.patch_embed.norm", out, ("patch_norm",))
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            bp = f"{prefix}.layers.{i}.blocks.{j}"
+            dst = (f"stage_{i}_block_{j}",)
+            _convert_ln(src, f"{bp}.norm1", out, dst + ("norm1",))
+            _convert_ln(src, f"{bp}.norm2", out, dst + ("norm2",))
+            _set(out, dst + ("attn", "relative_position_bias_table"),
+                 _t(src[f"{bp}.attn.relative_position_bias_table"]))
+            _convert_dense(src, f"{bp}.attn.qkv", out, dst + ("attn", "qkv"))
+            _convert_dense(src, f"{bp}.attn.proj", out, dst + ("attn", "proj"))
+            _convert_dense(src, f"{bp}.mlp.fc1", out, dst + ("fc1",))
+            _convert_dense(src, f"{bp}.mlp.fc2", out, dst + ("fc2",))
+        if i < len(depths) - 1:
+            _convert_ln(src, f"{prefix}.layers.{i}.downsample.norm", out,
+                        (f"merge_{i}", "norm"))
+            _convert_dense(src, f"{prefix}.layers.{i}.downsample.reduction", out,
+                           (f"merge_{i}", "reduction"))
+    for k in out_indices:
+        _convert_ln(src, f"{prefix}.norm{k}", out, (f"out_norm_{k}",))
+    return out
+
+
+def convert_unipose(src: Mapping, enc_layers: int = 6, dec_layers: int = 6,
+                    num_levels: int = 4,
+                    depths: Tuple[int, ...] = (2, 2, 6, 2),
+                    out_indices: Tuple[int, ...] = (1, 2, 3)) -> Dict:
+    """Released UniPose checkpoint (`unipose.py:505` build; keys as saved by
+    the reference training, 'module.' prefix already stripped) -> the Flax
+    ``toolbox.unipose.UniPose`` param tree.
+
+    Skipped-by-design keys (dead at inference): label_enc, pos_proj, padding,
+    clip_model.* (`unipose.py:421-426` multiplies them by 0.0), and the
+    duplicate shared-head entries (bbox_embed.1..5, transformer.decoder.*_embed,
+    transformer.enc_out_bbox_embed) which alias bbox_embed.0 tensors.
+    """
+    out: Dict[str, Any] = {}
+    out["backbone"] = convert_swin(src, "backbone.0", depths, out_indices)
+
+    for i in range(num_levels):
+        _set(out, (f"input_proj_{i}", "kernel"), conv_kernel(src[f"input_proj.{i}.0.weight"]))
+        _set(out, (f"input_proj_{i}", "bias"), _t(src[f"input_proj.{i}.0.bias"]))
+        _convert_ln(src, f"input_proj.{i}.1", out, (f"input_proj_norm_{i}",))
+
+    _set(out, ("level_embed",), _t(src["transformer.level_embed"]))
+    _set(out, ("tgt_embed",), _t(src["transformer.tgt_embed.weight"]))
+    _set(out, ("hw",), _t(src["transformer.decoder.hw.weight"]))
+    _set(out, ("hw_append",), _t(src["transformer.decoder.hw_append.weight"]))
+    _convert_dense(src, "transformer.enc_output", out, ("enc_output",))
+    _convert_ln(src, "transformer.enc_output_norm", out, ("enc_output_norm",))
+    _convert_ln(src, "transformer.decoder.norm", out, ("decoder_norm",))
+    _convert_mlp(src, "transformer.decoder.ref_point_head", out,
+                 ("ref_point_head",), num_layers=2)
+
+    for i in range(enc_layers):
+        ep = f"transformer.encoder.layers.{i}"
+        _convert_deform_attn(src, f"{ep}.self_attn", out, (f"enc_{i}", "self_attn"))
+        for n in ("norm1", "norm2"):
+            _convert_ln(src, f"{ep}.{n}", out, (f"enc_{i}", n))
+        for n in ("linear1", "linear2"):
+            _convert_dense(src, f"{ep}.{n}", out, (f"enc_{i}", n))
+
+        tp = f"transformer.encoder.text_layers.{i}"
+        _convert_mha(src, f"{tp}.self_attn", out, (f"text_{i}", "self_attn"))
+        for n in ("norm1", "norm2"):
+            _convert_ln(src, f"{tp}.{n}", out, (f"text_{i}", n))
+        for n in ("linear1", "linear2"):
+            _convert_dense(src, f"{tp}.{n}", out, (f"text_{i}", n))
+
+        fp = f"transformer.encoder.fusion_layers.{i}"
+        _convert_ln(src, f"{fp}.layer_norm_v", out, (f"fusion_{i}", "layer_norm_v"))
+        _convert_ln(src, f"{fp}.layer_norm_l", out, (f"fusion_{i}", "layer_norm_l"))
+        for n in ("v_proj", "l_proj", "values_v_proj", "values_l_proj",
+                  "out_v_proj", "out_l_proj"):
+            _convert_dense(src, f"{fp}.attn.{n}", out, (f"fusion_{i}", n))
+        _set(out, (f"fusion_{i}", "gamma_v"), _t(src[f"{fp}.gamma_v"]))
+        _set(out, (f"fusion_{i}", "gamma_l"), _t(src[f"{fp}.gamma_l"]))
+
+    for i in range(dec_layers):
+        dp = f"transformer.decoder.layers.{i}"
+        _convert_deform_attn(src, f"{dp}.cross_attn", out, (f"dec_{i}", "cross_attn"))
+        _convert_mha(src, f"{dp}.self_attn", out, (f"dec_{i}", "self_attn"))
+        _convert_mha(src, f"{dp}.ca_text", out, (f"dec_{i}", "ca_text"))
+        for n in ("norm1", "norm2", "norm3", "catext_norm"):
+            _convert_ln(src, f"{dp}.{n}", out, (f"dec_{i}", n))
+        for n in ("linear1", "linear2"):
+            _convert_dense(src, f"{dp}.{n}", out, (f"dec_{i}", n))
+
+    _convert_mlp(src, "bbox_embed.0", out, ("bbox_embed",))
+    _convert_mlp(src, "pose_embed.0", out, ("pose_embed",))
+    _convert_mlp(src, "pose_hw_embed.0", out, ("pose_hw_embed",))
+    _convert_mlp(src, "projection", out, ("projection",))
+    _convert_mlp(src, "projection_kpt", out, ("projection_kpt",))
+    return out
+
+
+def convert_clip_text(src: Mapping, num_layers: int = 12) -> Dict:
+    """OpenAI CLIP (ViT-B/32) text tower -> toolbox.clip_text.CLIPTextEncoder.
+    Keys as in the released CLIP state dict (`clip.load` model)."""
+    out: Dict[str, Any] = {}
+    _set(out, ("token_embedding",), _t(src["token_embedding.weight"]))
+    _set(out, ("positional_embedding",), _t(src["positional_embedding"]))
+    for i in range(num_layers):
+        p = f"transformer.resblocks.{i}"
+        d = f"layers_{i}"
+        _convert_ln(src, f"{p}.ln_1", out, (f"{d}_ln_1",))
+        _convert_ln(src, f"{p}.ln_2", out, (f"{d}_ln_2",))
+        _set(out, (f"{d}_attn_in", "kernel"), dense_kernel(src[f"{p}.attn.in_proj_weight"]))
+        _set(out, (f"{d}_attn_in", "bias"), _t(src[f"{p}.attn.in_proj_bias"]))
+        _convert_dense(src, f"{p}.attn.out_proj", out, (f"{d}_attn_out",))
+        _convert_dense(src, f"{p}.mlp.c_fc", out, (f"{d}_fc",))
+        _convert_dense(src, f"{p}.mlp.c_proj", out, (f"{d}_proj",))
+    _convert_ln(src, "ln_final", out, ("ln_final",))
+    _set(out, ("text_projection",), _t(src["text_projection"]))
+    return out
+
+
+def convert_clip_text_hf(src: Mapping, num_layers: int = 12) -> Dict:
+    """transformers-format CLIP text tower (openai/clip-vit-base-patch32
+    pytorch_model.bin) -> CLIPTextEncoder. Same math as the openai-format
+    converter above (quick_gelu, EOT pooling); only key names differ."""
+    out: Dict[str, Any] = {}
+    pre = "text_model."
+    _set(out, ("token_embedding",), _t(src[f"{pre}embeddings.token_embedding.weight"]))
+    _set(out, ("positional_embedding",),
+         _t(src[f"{pre}embeddings.position_embedding.weight"]))
+    for i in range(num_layers):
+        p = f"{pre}encoder.layers.{i}"
+        d = f"layers_{i}"
+        _convert_ln(src, f"{p}.layer_norm1", out, (f"{d}_ln_1",))
+        _convert_ln(src, f"{p}.layer_norm2", out, (f"{d}_ln_2",))
+        # pack hf q/k/v into the fused attn_in Dense (q;k;v column order)
+        qw = _t(src[f"{p}.self_attn.q_proj.weight"])
+        kw = _t(src[f"{p}.self_attn.k_proj.weight"])
+        vw = _t(src[f"{p}.self_attn.v_proj.weight"])
+        qb = _t(src[f"{p}.self_attn.q_proj.bias"])
+        kb = _t(src[f"{p}.self_attn.k_proj.bias"])
+        vb = _t(src[f"{p}.self_attn.v_proj.bias"])
+        _set(out, (f"{d}_attn_in", "kernel"), np.concatenate([qw, kw, vw], 0).T)
+        _set(out, (f"{d}_attn_in", "bias"), np.concatenate([qb, kb, vb], 0))
+        _convert_dense(src, f"{p}.self_attn.out_proj", out, (f"{d}_attn_out",))
+        _convert_dense(src, f"{p}.mlp.fc1", out, (f"{d}_fc",))
+        _convert_dense(src, f"{p}.mlp.fc2", out, (f"{d}_proj",))
+    _convert_ln(src, f"{pre}final_layer_norm", out, ("ln_final",))
+    _set(out, ("text_projection",), dense_kernel(src["text_projection.weight"]))
+    return out

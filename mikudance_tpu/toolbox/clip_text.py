@@ -42,7 +42,7 @@ class CLIPTextEncoder(nn.Module):
         causal = jnp.triu(jnp.full((L, L), -jnp.inf, jnp.float32), k=1)
 
         for i in range(self.layers):
-            h = nn.LayerNorm(dtype=self.dtype, name=f"layers_{i}_ln_1")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"layers_{i}_ln_1")(x)
             qkv = nn.Dense(3 * self.width, dtype=self.dtype, name=f"layers_{i}_attn_in")(h)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             hd = self.width // self.heads
@@ -55,12 +55,12 @@ class CLIPTextEncoder(nn.Module):
             o = jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(B, L, self.width)
             x = x + nn.Dense(self.width, dtype=self.dtype, name=f"layers_{i}_attn_out")(o)
 
-            h = nn.LayerNorm(dtype=self.dtype, name=f"layers_{i}_ln_2")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"layers_{i}_ln_2")(x)
             h = nn.Dense(4 * self.width, dtype=self.dtype, name=f"layers_{i}_fc")(h)
             h = h * nn.sigmoid(1.702 * h)  # quick_gelu
             x = x + nn.Dense(self.width, dtype=self.dtype, name=f"layers_{i}_proj")(h)
 
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
         # pool at the EOT token (highest id in CLIP's vocab)
         eot = jnp.argmax(token_ids, axis=-1)
         pooled = x[jnp.arange(B), eot]

@@ -114,7 +114,7 @@ class SwinBlock(nn.Module):
         pad_h = (-H) % w
         pad_w = (-W) % w
         shortcut = x
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = jnp.pad(h, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         Hp, Wp = H + pad_h, W + pad_w
 
@@ -132,7 +132,7 @@ class SwinBlock(nn.Module):
         h = h[:, :H, :W]
         x = shortcut + h
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(C, dtype=self.dtype, name="fc2")(y)
@@ -152,7 +152,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -171,7 +171,7 @@ class SwinTransformer(nn.Module):
         """x: (B, H, W, 3) -> list of (B, H/2^(i+2), W/2^(i+2), C_i) features."""
         x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4), padding="VALID",
                     dtype=self.dtype, name="patch_embed")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
 
         outs = []
         dim = self.embed_dim
@@ -181,7 +181,7 @@ class SwinTransformer(nn.Module):
                 x = SwinBlock(dim, self.heads[i], self.window, shift,
                               dtype=self.dtype, name=f"stage_{i}_block_{j}")(x)
             if i in self.out_indices:
-                o = nn.LayerNorm(dtype=self.dtype, name=f"out_norm_{i}")(x)
+                o = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"out_norm_{i}")(x)
                 outs.append(o)
             if i < len(self.depths) - 1:
                 x = PatchMerging(dim, self.dtype, name=f"merge_{i}")(x)

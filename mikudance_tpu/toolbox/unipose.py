@@ -1,30 +1,47 @@
-"""UniPose: open-vocabulary keypoint detector, Flax.
+"""UniPose: open-vocabulary keypoint detector, Flax — checkpoint-exact rebuild.
 
-Rebuilds the architecture of `/root/reference/src/XPose/models/UniPose/
-unipose.py:35,316` + `deformable_transformer.py:38`: a DETR-style detector
-whose class/keypoint vocabulary comes from CLIP text embeddings.
+Rebuilds the *live inference path* of `/root/reference/src/XPose/models/
+UniPose/unipose.py:35,316` + `deformable_transformer.py:38` +
+`fuse_modules.py:100,243` + `transformer_vanilla.py:62` with the exact
+computation graph of the UniPose_SwinT build (`config_model/UniPose_SwinT.py`:
+hidden 256, 6 enc + 6 dec layers, 8 heads, 4 feature levels, 4 points,
+900 queries, dim_feedforward 2048, two_stage 'standard', embed_init_tgt,
+text enhancer + fusion + text cross-attention, num_body_points 68), so that
+the released checkpoint converts weight-for-weight (`core/convert.py::
+convert_unipose`) and reproduces the torch activations (tests/
+test_unipose_parity.py builds the actual reference torch model as the oracle).
 
-Structure (config_model/UniPose_SwinT.py: hidden 256, 6 enc + 6 dec layers,
-8 heads, 4 feature levels, 4 sampling points, 900 queries, dim_feedforward
-2048):
+Flow:
+  Swin-T -> 3 stage features + stride-2 extra level -> 1x1/3x3 proj + GN(32)
+  -> flatten + SineHW position embeddings (+ level embed)
+  -> 6x [BiAttention image<->text fusion; text self-enhance layer;
+         deformable self-attention + FFN]
+  -> two-stage proposal selection (gen_encoder_output_proposals -> enc_output
+     -> contrastive class vs text -> top-900 -> box init)
+  -> decoder: 2 box layers on 900 queries, then top-50 instances expand to
+     50 x (1 box + 68 keypoint) queries (keypoint queries = projected CLIP
+     keypoint-text embeddings), group-isolated self-attention
+     (mask_generate.py:10-43), text cross-attention, deformable cross-
+     attention, iterative box/pose refinement
+  -> heads: contrastive logits, box, keypoint xy (+ constant-vis z slots,
+     keypoint_xyzxyz_to_xyxyzz layout).
 
-  Swin-T -> 4-level feature pyramid (stage 1..3 + stride-2 extra) -> 1x1 proj
-  to 256 + GroupNorm(32) -> deformable ENCODER (MSDeformAttn self-attention
-  over the flattened multi-scale tokens + text fusion) -> two-stage proposal
-  selection (top num_queries encoder tokens) -> deformable DECODER whose
-  queries are [instance | keypoint-slot] groups isolated by a block-diagonal
-  self-attention mask (`mask_generate.py:10-43`) -> per-layer heads: class
-  logits = <feature, text embedding>, box MLP, keypoint MLP.
+Inference-only simplifications (explicitly safe):
+- no image padding masks: the drivers batch uniformly-sized frames, so every
+  mask is all-valid and valid_ratios == 1 (`deformable_transformer.py:297`);
+- the dead-at-inference DN branches and the `* 0.0` gradient hacks
+  (`unipose.py:421-426`) are dropped; label_enc/pos_proj/padding/clip_model
+  weights are never used in the eval forward.
 
-This is a structurally faithful compact implementation (text fusion uses
-bidirectional cross-attention like `fuse_modules.py:100,243`; drop-path and
-checkpointing elided). Inference-only for now (used for pose extraction).
+TPU notes: everything is static-shaped; the deformable attention gathers run
+through `toolbox.deformable.ms_deform_attn` (dense jnp, parity-tested against
+the reference's grid_sample spec); level loops unroll at trace time.
 """
 
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,24 +51,130 @@ from flax import linen as nn
 from .deformable import ms_deform_attn
 from .swin import SwinTransformer
 
-
-def sine_position_embedding(h: int, w: int, dim: int = 256, temp: float = 20.0) -> np.ndarray:
-    """DETR sine PE, (h*w, dim) — position_encoding.py with temperature 20."""
-    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    ys = (ys + 0.5) / h * 2 * math.pi
-    xs = (xs + 0.5) / w * 2 * math.pi
-    half = dim // 2
-    freqs = temp ** (2 * (np.arange(half) // 2) / half)
-    py = ys[..., None] / freqs
-    px = xs[..., None] / freqs
-    pe_y = np.stack([np.sin(py[..., 0::2]), np.cos(py[..., 1::2])], -1).reshape(h, w, half)
-    pe_x = np.stack([np.sin(px[..., 0::2]), np.cos(px[..., 1::2])], -1).reshape(h, w, half)
-    return np.concatenate([pe_y, pe_x], -1).reshape(h * w, dim).astype(np.float32)
+NEG_INF = float(np.finfo(np.float32).min)
 
 
-class MSDeformAttnLayer(nn.Module):
-    """Learned sampling offsets + attention weights around reference points
-    (`ops/modules/ms_deform_attn.py:33,83-143`)."""
+# ---------------------------------------------------------------------------
+# positional embeddings (all exact rebuilds)
+# ---------------------------------------------------------------------------
+
+
+def sine_pos_embed_hw(h: int, w: int, num_feats: int = 128,
+                      temp_h: float = 20.0, temp_w: float = 20.0) -> np.ndarray:
+    """PositionEmbeddingSineHW (`position_encoding.py:67-110`), normalized,
+    no padding: cumsum of an all-valid mask. Returns (h*w, 2*num_feats)."""
+    eps, scale = 1e-6, 2 * math.pi
+    y = (np.arange(h, dtype=np.float64) + 1.0)
+    x = (np.arange(w, dtype=np.float64) + 1.0)
+    y = y / (h + eps) * scale
+    x = x / (w + eps) * scale
+    dim_tx = temp_w ** (2 * (np.arange(num_feats) // 2) / num_feats)
+    dim_ty = temp_h ** (2 * (np.arange(num_feats) // 2) / num_feats)
+    pos_x = x[:, None] / dim_tx  # (w, F)
+    pos_y = y[:, None] / dim_ty  # (h, F)
+
+    def interleave(p):
+        return np.stack([np.sin(p[:, 0::2]), np.cos(p[:, 1::2])], axis=2).reshape(
+            p.shape[0], -1)
+
+    pos_x = interleave(pos_x)  # (w, F)
+    pos_y = interleave(pos_y)  # (h, F)
+    grid = np.concatenate(
+        [np.broadcast_to(pos_y[:, None], (h, w, num_feats)),
+         np.broadcast_to(pos_x[None, :], (h, w, num_feats))], axis=-1)
+    return grid.reshape(h * w, 2 * num_feats).astype(np.float32)
+
+
+def gen_sineembed_for_position(pos: jnp.ndarray) -> jnp.ndarray:
+    """(B, Q, 4) sigmoid-space boxes -> (B, Q, 512) (`utils.py:193-219`)."""
+    scale = 2 * math.pi
+    dim_t = 10000.0 ** (2 * (jnp.arange(128) // 2) / 128.0)
+
+    def embed(v):  # (B, Q) -> (B, Q, 128)
+        p = (v * scale)[..., None] / dim_t
+        return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])], axis=-1
+                         ).reshape(p.shape[:-1] + (128,))
+
+    return jnp.concatenate(
+        [embed(pos[..., 1]), embed(pos[..., 0]),
+         embed(pos[..., 2]), embed(pos[..., 3])], axis=-1)
+
+
+def get_sine_pos_embed(pos: jnp.ndarray, num_feats: int = 256) -> jnp.ndarray:
+    """`utils.py:26-55` with exchange_xy=False on a (..., 1) tensor."""
+    scale = 2 * math.pi
+    dim_t = 10000.0 ** (2 * (jnp.arange(num_feats) // 2) / num_feats)
+    p = pos[..., 0:1] * scale / dim_t
+    return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])], axis=-1
+                     ).reshape(pos.shape[:-1] + (num_feats,))
+
+
+def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
+    """`util/misc.py:689-693` (note eps 1e-3)."""
+    x = jnp.clip(x, 0.0, 1.0)
+    return jnp.log(jnp.clip(x, eps, None) / jnp.clip(1 - x, eps, None))
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+class MLP(nn.Module):
+    """`utils.py:162-174`: Linear stack with ReLU between."""
+
+    hidden: int
+    out: int
+    num_layers: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            width = self.out if i == self.num_layers - 1 else self.hidden
+            x = nn.Dense(width, dtype=self.dtype, name=f"layers_{i}")(x)
+            if i < self.num_layers - 1:
+                x = nn.relu(x)
+        return x
+
+
+class MultiheadAttention(nn.Module):
+    """torch nn.MultiheadAttention semantics (packed in_proj split to q/k/v
+    by the converter). attn_mask True = blocked; key_padding True = pad."""
+
+    dim: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, attn_mask=None, key_padding_mask=None):
+        B, Q, C = q.shape
+        S = k.shape[1]
+        hd = self.dim // self.heads
+        qh = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(q)
+        kh = nn.Dense(self.dim, dtype=self.dtype, name="k_proj")(k)
+        vh = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(v)
+        qh = qh.reshape(B, Q, self.heads, hd)
+        kh = kh.reshape(B, S, self.heads, hd)
+        vh = vh.reshape(B, S, self.heads, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32) / math.sqrt(hd)
+        if attn_mask is not None:
+            # (Q, S) or (B, Q, S) or (B, heads, Q, S) boolean, True = blocked
+            m = attn_mask
+            while m.ndim < 4:
+                m = m[None]
+            logits = jnp.where(m, NEG_INF, logits)
+        if key_padding_mask is not None:
+            logits = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, logits)
+        w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(B, Q, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
+
+
+class MSDeformAttnModule(nn.Module):
+    """MSDeformAttn (`ops/modules/ms_deform_attn.py:33,83-143`): learned
+    sampling offsets + softmax weights around 2D or 4D reference points."""
 
     dim: int = 256
     heads: int = 8
@@ -60,13 +183,8 @@ class MSDeformAttnLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(
-        self,
-        query: jnp.ndarray,  # (B, Q, C)
-        ref_points: jnp.ndarray,  # (B, Q, L, 2) normalized centers
-        value: jnp.ndarray,  # (B, S, C)
-        spatial_shapes: Sequence[Tuple[int, int]],
-    ) -> jnp.ndarray:
+    def __call__(self, query, ref_points, value, spatial_shapes):
+        """query (B,Q,C); ref_points (B,Q,L,2|4); value (B,S,C)."""
         B, Q, C = query.shape
         Hh, L, P = self.heads, self.levels, self.points
         v = nn.Dense(C, dtype=self.dtype, name="value_proj")(value)
@@ -75,118 +193,205 @@ class MSDeformAttnLayer(nn.Module):
         off = nn.Dense(Hh * L * P * 2, dtype=self.dtype, name="sampling_offsets")(query)
         off = off.reshape(B, Q, Hh, L, P, 2)
         attn = nn.Dense(Hh * L * P, dtype=self.dtype, name="attention_weights")(query)
-        attn = nn.softmax(attn.reshape(B, Q, Hh, L * P), axis=-1).reshape(B, Q, Hh, L, P)
+        attn = jax.nn.softmax(attn.reshape(B, Q, Hh, L * P), axis=-1)
+        attn = attn.reshape(B, Q, Hh, L, P)
 
-        wh = jnp.asarray([[s[1], s[0]] for s in spatial_shapes], jnp.float32)  # (L, 2) x,y
-        loc = ref_points[:, :, None, :, None, :] + off / wh[None, None, None, :, None, :]
+        if ref_points.shape[-1] == 2:
+            wh = jnp.asarray([[s[1], s[0]] for s in spatial_shapes], jnp.float32)
+            loc = ref_points[:, :, None, :, None, :] + off / wh[None, None, None, :, None, :]
+        else:  # 4D boxes: offsets scaled by box size (`ms_deform_attn.py:121-123`)
+            loc = (ref_points[:, :, None, :, None, :2]
+                   + off / P * ref_points[:, :, None, :, None, 2:] * 0.5)
         out = ms_deform_attn(v, spatial_shapes, loc, attn)
         return nn.Dense(C, dtype=self.dtype, name="output_proj")(out)
 
 
-class TextFusion(nn.Module):
-    """Bidirectional image<->text cross-attention (fuse_modules.py:100,243)."""
+class DeformEncoderLayer(nn.Module):
+    """DeformableTransformerEncoderLayer (`deformable_transformer.py:943-998`)."""
 
     dim: int = 256
+    ffn: int = 2048
+    levels: int = 4
+    points: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos, ref_points, spatial_shapes):
+        src2 = MSDeformAttnModule(
+            self.dim, levels=self.levels, points=self.points, dtype=self.dtype,
+            name="self_attn")(src + pos, ref_points, src, spatial_shapes)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + src2)
+        h = nn.Dense(self.ffn, dtype=self.dtype, name="linear1")(src)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(nn.relu(h))
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src + h)
+
+
+class TextEnhanceLayer(nn.Module):
+    """transformer_vanilla.TransformerEncoderLayer with the eye self-attention
+    mask (each text token attends only to itself) and sine position ids."""
+
+    dim: int = 256
+    heads: int = 4
+    ffn: int = 1024
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, txt, pos, self_mask):
+        """txt (B,N,C); pos (B,N,C); self_mask (B,N,N) True = blocked."""
+        q = txt + pos
+        t2 = MultiheadAttention(self.dim, self.heads, dtype=self.dtype,
+                                name="self_attn")(q, q, txt, attn_mask=self_mask[:, None])
+        txt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(txt + t2)
+        h = nn.Dense(self.ffn, dtype=self.dtype, name="linear1")(txt)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(nn.relu(h))
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(txt + h)
+
+
+class BiAttentionBlock(nn.Module):
+    """fuse_modules.BiAttentionBlock (`fuse_modules.py:100-277`): pre-LN
+    bidirectional image<->text attention with layer-scale gammas, the global
+    stable-softmax max subtraction, and +-50000 clamps."""
+
+    v_dim: int = 256
+    l_dim: int = 256
+    embed_dim: int = 1024
     heads: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, img: jnp.ndarray, txt: jnp.ndarray):
-        from ..models.layers import dot_product_attention
+    def __call__(self, v, l, text_pad_mask=None):
+        """v (B,S,C) image tokens; l (B,N,C) text; text_pad_mask True = pad."""
+        B, S, _ = v.shape
+        N = l.shape[1]
+        hd = self.embed_dim // self.heads
+        vn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm_v")(v)
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm_l")(l)
 
-        i_n = nn.LayerNorm(dtype=self.dtype, name="ln_img")(img)
-        t_n = nn.LayerNorm(dtype=self.dtype, name="ln_txt")(txt)
-        qi = nn.Dense(self.dim, dtype=self.dtype, name="img_q")(i_n)
-        kt = nn.Dense(self.dim, dtype=self.dtype, name="txt_k")(t_n)
-        vt = nn.Dense(self.dim, dtype=self.dtype, name="txt_v")(t_n)
-        img = img + nn.Dense(self.dim, dtype=self.dtype, name="img_o")(
-            dot_product_attention(qi, kt, vt, self.heads)
-        )
-        qt = nn.Dense(self.dim, dtype=self.dtype, name="txt_q")(t_n)
-        ki = nn.Dense(self.dim, dtype=self.dtype, name="img_k")(i_n)
-        vi = nn.Dense(self.dim, dtype=self.dtype, name="img_v")(i_n)
-        txt = txt + nn.Dense(self.dim, dtype=self.dtype, name="txt_o")(
-            dot_product_attention(qt, ki, vi, self.heads)
-        )
-        return img, txt
+        scale = hd ** -0.5
+        q = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")(vn) * scale
+        k = nn.Dense(self.embed_dim, dtype=self.dtype, name="l_proj")(ln)
+        val_v = nn.Dense(self.embed_dim, dtype=self.dtype, name="values_v_proj")(vn)
+        val_l = nn.Dense(self.embed_dim, dtype=self.dtype, name="values_l_proj")(ln)
 
+        q = q.reshape(B, S, self.heads, hd)
+        k = k.reshape(B, N, self.heads, hd)
+        val_v = val_v.reshape(B, S, self.heads, hd)
+        val_l = val_l.reshape(B, N, self.heads, hd)
 
-class FFN(nn.Module):
-    dim: int = 256
-    hidden: int = 2048
-    dtype: jnp.dtype = jnp.float32
+        aw = jnp.einsum("bshd,bnhd->bhsn", q, k,
+                        preferred_element_type=jnp.float32)
+        aw = aw - jnp.max(aw)  # stable_softmax_2d: global max
+        aw = jnp.clip(aw, -50000, 50000)
 
-    @nn.compact
-    def __call__(self, x):
-        h = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        h = nn.relu(h)
-        return x + nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        aw_t = jnp.swapaxes(aw, -1, -2)  # (B,h,N,S) text->image weights
+        aw_l = aw_t - jnp.max(aw_t, axis=-1, keepdims=True)
+        aw_l = jnp.clip(aw_l, -50000, 50000)
+        # (no image padding at inference -> no mask on aw_l)
+        p_l = jax.nn.softmax(aw_l, axis=-1).astype(val_v.dtype)
 
+        if text_pad_mask is not None:
+            aw = jnp.where(text_pad_mask[:, None, None, :], -jnp.inf, aw)
+        p_v = jax.nn.softmax(aw, axis=-1).astype(val_l.dtype)
 
-class EncoderLayer(nn.Module):
-    dim: int = 256
-    dtype: jnp.dtype = jnp.float32
+        out_v = jnp.einsum("bhsn,bnhd->bshd", p_v, val_l).reshape(B, S, self.embed_dim)
+        out_l = jnp.einsum("bhns,bshd->bnhd", p_l, val_v).reshape(B, N, self.embed_dim)
+        dv = nn.Dense(self.v_dim, dtype=self.dtype, name="out_v_proj")(out_v)
+        dl = nn.Dense(self.l_dim, dtype=self.dtype, name="out_l_proj")(out_l)
 
-    @nn.compact
-    def __call__(self, tokens, pos, ref_points, spatial_shapes, txt):
-        tokens, txt = TextFusion(self.dim, dtype=self.dtype, name="fusion")(tokens, txt)
-        attn = MSDeformAttnLayer(self.dim, dtype=self.dtype, name="self_attn")(
-            tokens + pos, ref_points, tokens, spatial_shapes
-        )
-        tokens = nn.LayerNorm(dtype=self.dtype, name="norm1")(tokens + attn)
-        tokens = nn.LayerNorm(dtype=self.dtype, name="norm2")(
-            FFN(self.dim, dtype=self.dtype, name="ffn")(tokens)
-        )
-        return tokens, txt
+        gamma_v = self.param("gamma_v", nn.initializers.constant(1e-4), (self.v_dim,))
+        gamma_l = self.param("gamma_l", nn.initializers.constant(1e-4), (self.l_dim,))
+        return vn + gamma_v * dv, ln + gamma_l * dl
 
 
-class DecoderLayer(nn.Module):
+class DeformDecoderLayer(nn.Module):
+    """DeformableTransformerDecoderLayer (`deformable_transformer.py:1001-1137`):
+    self-attn (group mask) -> text cross-attn -> deformable cross-attn -> FFN."""
+
     dim: int = 256
     heads: int = 8
+    ffn: int = 2048
+    levels: int = 4
+    points: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, q_pos, sa_mask, memory, ref_points, spatial_shapes):
-        from ..models.layers import dot_product_attention
+    def __call__(self, tgt, query_pos, ref_points, memory, spatial_shapes,
+                 memory_text, text_pad_mask, self_attn_mask=None):
+        q = tgt + query_pos
+        t2 = MultiheadAttention(self.dim, self.heads, dtype=self.dtype,
+                                name="self_attn")(q, q, tgt, attn_mask=self_attn_mask)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt + t2)
 
-        # group-isolated self-attention (mask_generate.py:10-43)
-        h = q + q_pos
-        qq = nn.Dense(self.dim, dtype=self.dtype, name="sa_q")(h)
-        kk = nn.Dense(self.dim, dtype=self.dtype, name="sa_k")(h)
-        vv = nn.Dense(self.dim, dtype=self.dtype, name="sa_v")(q)
-        B, Q, C = q.shape
-        hd = C // self.heads
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk",
-            qq.reshape(B, Q, self.heads, hd),
-            kk.reshape(B, Q, self.heads, hd),
-        ) / math.sqrt(hd)
-        logits = jnp.where(sa_mask[None, None], -1e30, logits)
-        w = nn.softmax(logits, axis=-1)
-        sa = jnp.einsum("bhqk,bkhd->bqhd", w, vv.reshape(B, Q, self.heads, hd))
-        sa = nn.Dense(self.dim, dtype=self.dtype, name="sa_o")(sa.reshape(B, Q, C))
-        q = nn.LayerNorm(dtype=self.dtype, name="norm1")(q + sa)
+        t2 = MultiheadAttention(self.dim, self.heads, dtype=self.dtype,
+                                name="ca_text")(tgt + query_pos, memory_text,
+                                                memory_text,
+                                                key_padding_mask=text_pad_mask)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="catext_norm")(tgt + t2)
 
-        ca = MSDeformAttnLayer(self.dim, dtype=self.dtype, name="cross_attn")(
-            q + q_pos, ref_points, memory, spatial_shapes
-        )
-        q = nn.LayerNorm(dtype=self.dtype, name="norm2")(q + ca)
-        q = nn.LayerNorm(dtype=self.dtype, name="norm3")(
-            FFN(self.dim, dtype=self.dtype, name="ffn")(q)
-        )
-        return q
+        t2 = MSDeformAttnModule(
+            self.dim, self.heads, self.levels, self.points, dtype=self.dtype,
+            name="cross_attn")(tgt + query_pos, ref_points, memory, spatial_shapes)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt + t2)
+
+        h = nn.Dense(self.ffn, dtype=self.dtype, name="linear1")(tgt)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(nn.relu(h))
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt + h)
 
 
-def keypoint_group_mask(num_groups: int, slots_per_group: int) -> np.ndarray:
-    """Block-diagonal mask: True = BLOCKED. Queries attend within their own
-    (instance, keypoints) group only (`mask_generate.py:10-43`)."""
-    n = num_groups * slots_per_group
-    g = np.arange(n) // slots_per_group
-    return (g[:, None] != g[None, :])
+def contrastive_logits(x: jnp.ndarray, text: jnp.ndarray,
+                       text_token_mask: jnp.ndarray) -> jnp.ndarray:
+    """ContrastiveAssign (`unipose.py:587-635`): dot vs text embeddings,
+    padded tokens -> -inf."""
+    res = jnp.einsum("bqc,bnc->bqn", x, text)
+    return jnp.where(text_token_mask[:, None, :], res, -jnp.inf)
+
+
+def gen_encoder_output_proposals(
+    memory: jnp.ndarray, spatial_shapes: Sequence[Tuple[int, int]]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`utils.py:58-113` with all-valid masks: per-token anchor boxes
+    (cell center, wh = 0.05 * 2^level) in unsigmoid space; invalid (border)
+    proposals -> +inf and their memory zeroed."""
+    props = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing="ij")
+        grid = np.stack([gx, gy], -1)  # (h, w, 2)
+        grid = (grid + 0.5) / np.asarray([w, h], np.float32)
+        wh = np.full_like(grid, 0.05 * (2.0 ** lvl))
+        props.append(np.concatenate([grid, wh], -1).reshape(-1, 4))
+    proposals = np.concatenate(props, 0)  # (S, 4)
+    valid = ((proposals > 0.01) & (proposals < 0.99)).all(-1, keepdims=True)
+    uns = np.log(proposals / (1 - proposals))
+    uns = np.where(valid, uns, np.inf).astype(np.float32)
+    out_prop = jnp.asarray(uns)[None]
+    out_mem = jnp.where(jnp.asarray(valid[None]), memory, 0.0)
+    return out_mem, out_prop
+
+
+def keypoint_group_mask(kpt_mask: jnp.ndarray, num_groups: int) -> jnp.ndarray:
+    """prepare_for_mask (`mask_generate.py:10-43`): (B, G*S, G*S) bool mask,
+    True = blocked. Cross-group always blocked; within a group, tokens attend
+    only to tokens with equal visibility flag. kpt_mask: (B, S) with S = 1 +
+    num_body_points (leading 1 for the instance slot)."""
+    B, S = kpt_mask.shape
+    n = num_groups * S
+    g = np.arange(n) // S
+    cross = jnp.asarray(g[:, None] != g[None, :])  # (n, n)
+    eq = kpt_mask[:, :, None] == kpt_mask[:, None, :]  # (B, S, S)
+    within_block = jnp.tile(~eq, (1, num_groups, num_groups))  # (B, n, n)
+    return jnp.where(cross[None], True, within_block)
+
+
+def keypoint_xyzxyz_to_xyxyzz(x: jnp.ndarray) -> jnp.ndarray:
+    """`util/keypoint_ops.py`: (..., 3K) interleaved xyz -> [all xy | all z]."""
+    return jnp.concatenate(
+        [x[..., 0::3][..., :, None], x[..., 1::3][..., :, None]], -1
+    ).reshape(x.shape[:-1] + (-1,)), x[..., 2::3]
 
 
 class UniPose(nn.Module):
-    """Open-vocabulary keypoint detector. Inference forward."""
+    """Checkpoint-exact UniPose (inference forward). See module docstring."""
 
     hidden_dim: int = 256
     enc_layers: int = 6
@@ -194,144 +399,243 @@ class UniPose(nn.Module):
     heads: int = 8
     levels: int = 4
     points: int = 4
-    num_groups: int = 50  # instances (num_select)
-    num_body_points: int = 68  # keypoint slots per instance (padded vocab)
-    text_dim: int = 512  # CLIP ViT-B/32 text width
+    ffn_dim: int = 2048
+    num_queries: int = 900
+    num_groups: int = 50  # inter_select_number (`deformable_transformer.py:812`)
+    num_body_points: int = 68
+    num_box_decoder_layers: int = 2
+    text_dim: int = 512  # CLIP ViT-B/32
+    swin_embed_dim: int = 96
+    swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
+    swin_heads: Tuple[int, ...] = (3, 6, 12, 24)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
         self,
-        image: jnp.ndarray,  # (B, H, W, 3), normalized
-        instance_text: jnp.ndarray,  # (B, N_cls, text_dim) CLIP embeddings
-        keypoint_text: jnp.ndarray,  # (B, K, text_dim) CLIP embeddings
+        image: jnp.ndarray,  # (B, H, W, 3) normalized
+        obj_text: jnp.ndarray,  # (B, N_txt, text_dim) CLIP instance embeddings
+        text_token_mask: jnp.ndarray,  # (B, N_txt) bool, True = real token
+        kpt_text: jnp.ndarray,  # (B, K, text_dim) CLIP keypoint embeddings
+        kpt_vis: jnp.ndarray,  # (B, K) 1.0 = real keypoint slot
     ):
         B = image.shape[0]
         C = self.hidden_dim
+        K = self.num_body_points
+        G = self.num_groups
+        slots = K + 1
 
-        # ---- backbone + 4-level pyramid (input_proj, unipose.py:378-398)
-        feats = SwinTransformer(dtype=self.dtype, name="backbone")(image)
-        levels = []
+        # ---- text projections (`unipose.py:115-117,340-342`)
+        txt = MLP(C, C, 3, dtype=self.dtype, name="projection")(
+            obj_text.astype(self.dtype))
+        kpt_embed = MLP(C, C, 3, dtype=self.dtype, name="projection_kpt")(
+            kpt_text.astype(self.dtype))
+
+        # ---- backbone + input projections (`unipose.py:135-152,378-398`)
+        feats = SwinTransformer(
+            embed_dim=self.swin_embed_dim, depths=self.swin_depths,
+            heads=self.swin_heads, dtype=self.dtype, name="backbone")(image)
+        srcs = []
         for i, f in enumerate(feats):
             p = nn.Conv(C, (1, 1), dtype=self.dtype, name=f"input_proj_{i}")(f)
             p = nn.GroupNorm(32, dtype=self.dtype, name=f"input_proj_norm_{i}")(p)
-            levels.append(p)
+            srcs.append(p)
+        nb = len(feats)
         extra = nn.Conv(C, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                        dtype=self.dtype, name="input_proj_extra")(feats[-1])
-        extra = nn.GroupNorm(32, dtype=self.dtype, name="input_proj_extra_norm")(extra)
-        levels.append(extra)
+                        dtype=self.dtype, name=f"input_proj_{nb}")(feats[-1])
+        extra = nn.GroupNorm(32, dtype=self.dtype, name=f"input_proj_norm_{nb}")(extra)
+        srcs.append(extra)
 
-        spatial_shapes = [(f.shape[1], f.shape[2]) for f in levels]
-        tokens = jnp.concatenate([f.reshape(B, -1, C) for f in levels], axis=1)
-        pos = jnp.concatenate(
-            [jnp.asarray(sine_position_embedding(h, w, C)) for h, w in spatial_shapes],
-            axis=0,
-        )[None].astype(self.dtype)
-        lvl_embed = self.param(
-            "level_embed", nn.initializers.normal(1.0), (self.levels, C)
-        )
-        lvl_pos = jnp.concatenate(
-            [jnp.broadcast_to(lvl_embed[i], (h * w, C)) for i, (h, w) in enumerate(spatial_shapes)],
-            axis=0,
-        )[None].astype(self.dtype)
-        pos = pos + lvl_pos
+        spatial_shapes = [(f.shape[1], f.shape[2]) for f in srcs]
+        src = jnp.concatenate([f.reshape(B, -1, C) for f in srcs], axis=1)
+        S = src.shape[1]
 
-        # per-token reference points = own center in every level
+        pos = np.concatenate(
+            [sine_pos_embed_hw(h, w, C // 2) for h, w in spatial_shapes], 0)
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (self.levels, C))
+        lvl = jnp.concatenate(
+            [jnp.broadcast_to(level_embed[i], (h * w, C))
+             for i, (h, w) in enumerate(spatial_shapes)], axis=0)
+        pos = (jnp.asarray(pos) + lvl)[None].astype(self.dtype)
+
+        # encoder reference points: own cell center at every level
+        # (`deformable_transformer.py:584-596`, valid_ratios = 1)
         centers = []
         for h, w in spatial_shapes:
-            ys, xs = np.meshgrid(
-                (np.arange(h) + 0.5) / h, (np.arange(w) + 0.5) / w, indexing="ij"
-            )
-            centers.append(np.stack([xs.ravel(), ys.ravel()], -1))
-        centers = jnp.asarray(np.concatenate(centers, 0), jnp.float32)  # (S, 2)
-        enc_ref = jnp.broadcast_to(centers[None, :, None], (B, centers.shape[0], self.levels, 2))
+            gy, gx = np.meshgrid(
+                np.linspace(0.5, h - 0.5, h, dtype=np.float32) / h,
+                np.linspace(0.5, w - 0.5, w, dtype=np.float32) / w, indexing="ij")
+            centers.append(np.stack([gx.ravel(), gy.ravel()], -1))
+        centers = np.concatenate(centers, 0)  # (S, 2)
+        enc_ref = jnp.broadcast_to(
+            jnp.asarray(centers)[None, :, None], (B, S, self.levels, 2))
 
-        # ---- text projections (unipose.py:332-344)
-        inst_txt = nn.Dense(C, dtype=self.dtype, name="instance_text_proj")(instance_text)
-        kpt_txt = nn.Dense(C, dtype=self.dtype, name="keypoint_text_proj")(keypoint_text)
-        txt = jnp.concatenate([inst_txt, kpt_txt], axis=1)
+        # text positions: sine embed of position_ids (1 real / 0 pad)
+        pos_text = get_sine_pos_embed(
+            text_token_mask.astype(jnp.float32)[..., None], C)
+        text_self_mask = ~jnp.eye(txt.shape[1], dtype=bool)[None]  # eye allowed
+        text_pad = ~text_token_mask
 
-        # ---- deformable encoder
+        # ---- encoder (`deformable_transformer.py:648-691`): fusion -> text
+        # enhance -> deformable layer, per layer
+        out = src
         for i in range(self.enc_layers):
-            tokens, txt = EncoderLayer(C, dtype=self.dtype, name=f"enc_{i}")(
-                tokens, pos, enc_ref, spatial_shapes, txt
-            )
+            out, txt = BiAttentionBlock(
+                C, C, self.ffn_dim // 2, self.heads // 2, dtype=self.dtype,
+                name=f"fusion_{i}")(out, txt, text_pad)
+            txt = TextEnhanceLayer(
+                C, self.heads // 2, self.ffn_dim // 2, dtype=self.dtype,
+                name=f"text_{i}")(txt, pos_text, text_self_mask)
+            out = DeformEncoderLayer(
+                C, self.ffn_dim, self.levels, self.points, dtype=self.dtype,
+                name=f"enc_{i}")(out, pos, enc_ref, spatial_shapes)
+        memory = out
 
-        # ---- two-stage proposal selection (top num_groups tokens by class score)
-        enc_cls = jnp.einsum(
-            "bsc,bnc->bsn",
-            nn.LayerNorm(dtype=self.dtype, name="enc_out_norm")(tokens),
-            inst_txt,
-        )
-        score = jnp.max(enc_cls, axis=-1)  # (B, S)
-        top = jax.lax.top_k(score, self.num_groups)[1]  # (B, G)
-        sel_centers = jnp.take_along_axis(
-            jnp.broadcast_to(centers[None], (B,) + centers.shape), top[..., None], axis=1
-        )  # (B, G, 2)
+        # ---- shared heads (dec_pred_*_embed_share = True in the build)
+        bbox_embed = MLP(C, 4, 3, dtype=self.dtype, name="bbox_embed")
+        pose_embed = MLP(C, 2, 3, dtype=self.dtype, name="pose_embed")
+        pose_hw_embed = MLP(C, 2, 3, dtype=self.dtype, name="pose_hw_embed")
+        ref_point_head = MLP(C, C, 2, dtype=self.dtype, name="ref_point_head")
 
-        # ---- decoder queries: [instance | 68 keypoint slots] per group
-        slots = 1 + self.num_body_points
-        Qn = self.num_groups * slots
-        q_embed = self.param("query_embed", nn.initializers.normal(1.0), (slots, C))
-        q = jnp.broadcast_to(q_embed[None, None], (B, self.num_groups, slots, C))
-        q = q.reshape(B, Qn, C).astype(self.dtype)
-        q_pos = jnp.zeros_like(q)
-        ref = jnp.repeat(sel_centers, slots, axis=1)  # (B, Qn, 2)
-        ref_l = jnp.broadcast_to(ref[:, :, None], (B, Qn, self.levels, 2))
+        # ---- two-stage proposal selection (`deformable_transformer.py:386-437`)
+        out_mem, out_prop = gen_encoder_output_proposals(memory, spatial_shapes)
+        out_mem = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="enc_output_norm")(
+            nn.Dense(C, dtype=self.dtype, name="enc_output")(out_mem))
+        enc_logits = contrastive_logits(out_mem, txt, text_token_mask)
+        enc_coord = bbox_embed(out_mem) + out_prop  # unsigmoid
+        topk = jax.lax.top_k(jnp.max(enc_logits, -1), self.num_queries)[1]
+        refpoint = jnp.take_along_axis(
+            enc_coord, jnp.repeat(topk[..., None], 4, axis=-1), axis=1)
+        refpoint = jax.lax.stop_gradient(refpoint)
+        tgt_embed = self.param(
+            "tgt_embed", nn.initializers.normal(1.0), (self.num_queries, C))
+        tgt = jnp.broadcast_to(
+            tgt_embed[None], (B, self.num_queries, C)).astype(self.dtype)
 
-        sa_mask = jnp.asarray(keypoint_group_mask(self.num_groups, slots))
+        # group-isolated mask for the expanded phase
+        kpt_mask = jnp.concatenate(
+            [jnp.ones((B, 1), kpt_vis.dtype), kpt_vis], axis=-1)  # (B, slots)
+        attn_mask2 = keypoint_group_mask(kpt_mask, G)[:, None]  # (B,1,n,n)
 
-        outputs = []
-        for i in range(self.dec_layers):
-            q = DecoderLayer(C, self.heads, dtype=self.dtype, name=f"dec_{i}")(
-                q, q_pos, sa_mask, tokens, ref_l, spatial_shapes
-            )
-            qg = q.reshape(B, self.num_groups, slots, C)
-            inst_feat = qg[:, :, 0]  # (B, G, C)
-            kpt_feat = qg[:, :, 1:]  # (B, G, K, C)
-            cls_logits = jnp.einsum("bgc,bnc->bgn", inst_feat, inst_txt)
-            box = nn.Dense(4, dtype=self.dtype, name=f"box_head_{i}")(
-                nn.relu(nn.Dense(C, dtype=self.dtype, name=f"box_mlp_{i}")(inst_feat))
-            )
-            box = nn.sigmoid(box + jnp.concatenate(
-                [sel_centers, jnp.zeros_like(sel_centers)], -1))
-            kpt = nn.Dense(2, dtype=self.dtype, name=f"kpt_head_{i}")(
-                nn.relu(nn.Dense(C, dtype=self.dtype, name=f"kpt_mlp_{i}")(kpt_feat))
-            )
-            kpt = nn.sigmoid(kpt + sel_centers[:, :, None])
-            outputs.append({"logits": cls_logits, "boxes": box, "keypoints": kpt})
-        return outputs
+        # ---- decoder (`deformable_transformer.py:775-943`)
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
+        hw = self.param("hw", nn.initializers.normal(1.0), (17, 2))
+        hw_append = self.param(
+            "hw_append", nn.initializers.normal(1.0), (K - 17, 2))
+        kpt_index = np.asarray(
+            [x for x in range(G * slots) if x % slots != 0], np.int32)
+
+        output = tgt
+        reference_points = jax.nn.sigmoid(refpoint)
+        intermediate, ref_list = [], [reference_points]
+        sa_mask = None
+        for layer_id in range(self.dec_layers):
+            ref_input = jnp.broadcast_to(
+                reference_points[:, :, None],
+                reference_points.shape[:2] + (self.levels, 4))
+            query_sine = gen_sineembed_for_position(reference_points).astype(self.dtype)
+            query_pos = ref_point_head(query_sine)
+
+            output = DeformDecoderLayer(
+                C, self.heads, self.ffn_dim, self.levels, self.points,
+                dtype=self.dtype, name=f"dec_{layer_id}")(
+                output, query_pos, ref_input, memory, spatial_shapes,
+                txt, text_pad, self_attn_mask=sa_mask)
+            intermediate.append(decoder_norm(output))
+
+            if layer_id < self.num_box_decoder_layers:
+                ref_uns = inverse_sigmoid(reference_points)
+                new_ref = jax.nn.sigmoid(bbox_embed(output) + ref_uns)
+
+            if layer_id == self.num_box_decoder_layers - 1:
+                # expand top-G instances into (box + K keypoint) query groups
+                cls = contrastive_logits(output, txt, text_token_mask)
+                topg = jax.lax.top_k(jnp.max(cls, -1), G)[1]  # (B, G)
+                box_ref = jnp.take_along_axis(
+                    new_ref, jnp.repeat(topg[..., None], 4, axis=-1), axis=1)
+                box_out = jnp.take_along_axis(
+                    output, jnp.repeat(topg[..., None], C, axis=-1), axis=1)
+                kpt_feat = jnp.broadcast_to(
+                    kpt_embed[:, None], (B, G, K, C))  # queries = text embeds
+                delta_xy = pose_embed(kpt_feat)[..., :2]
+                kpt_xy = jax.nn.sigmoid(
+                    inverse_sigmoid(box_ref[..., :2])[:, :, None] + delta_xy)
+                hw_all = jax.nn.sigmoid(jnp.concatenate([hw, hw_append], 0))
+                kpt_wh = hw_all[None, None] * box_ref[..., 2:][:, :, None]
+                kpt_ref = jnp.concatenate([kpt_xy, kpt_wh], -1)  # (B,G,K,4)
+                new_ref = jnp.concatenate(
+                    [box_ref[:, :, None], kpt_ref], axis=2).reshape(B, G * slots, 4)
+                output = jnp.concatenate(
+                    [box_out[:, :, None], kpt_feat], axis=2).reshape(B, G * slots, C)
+                sa_mask = attn_mask2
+
+            if layer_id >= self.num_box_decoder_layers:
+                ref_uns = inverse_sigmoid(reference_points)
+                out_box = output[:, 0::slots]
+                new_box = jax.nn.sigmoid(
+                    bbox_embed(out_box) + ref_uns[:, 0::slots])
+                out_kpt = output[:, kpt_index]
+                d_xy = pose_embed(out_kpt)
+                d_hw = pose_hw_embed(out_kpt)
+                uns_kpt = ref_uns[:, kpt_index]
+                uns_kpt = jnp.concatenate(
+                    [uns_kpt[..., :2] + d_xy[..., :2], uns_kpt[..., 2:] + d_hw], -1)
+                kpt_ref = jax.nn.sigmoid(uns_kpt).reshape(B, G, K, 4)
+                new_ref = jnp.concatenate(
+                    [new_box[:, :, None], kpt_ref], axis=2).reshape(B, G * slots, 4)
+
+            reference_points = jax.lax.stop_gradient(new_ref)
+            ref_list.append(new_ref)
+
+        # ---- final outputs (`unipose.py:431-497`, last decoder layer only)
+        hs = intermediate[-1]
+        ref_in = ref_list[-2]  # reference entering the last layer
+        hs_box = hs[:, 0::slots]
+        ref_box = ref_in[:, 0::slots]
+        pred_boxes = jax.nn.sigmoid(bbox_embed(hs_box) + inverse_sigmoid(ref_box))
+        pred_logits = contrastive_logits(hs_box, txt, text_token_mask)
+        hs_kpt = hs[:, kpt_index]
+        ref_kpt = ref_in[:, kpt_index]
+        kpt_xy_uns = pose_embed(hs_kpt) + inverse_sigmoid(ref_kpt[..., :2])
+        xyv = jax.nn.sigmoid(jnp.concatenate(
+            [kpt_xy_uns, jnp.ones_like(kpt_xy_uns[..., :1])], -1))
+        xyv = xyv.reshape(B, G, K * 3)
+        xy, z = keypoint_xyzxyz_to_xyxyzz(xyv)
+        pred_keypoints = jnp.concatenate([xy, z], -1)
+        return {
+            "pred_logits": pred_logits,
+            "pred_boxes": pred_boxes,
+            "pred_keypoints": pred_keypoints,
+        }
 
 
-def postprocess(
-    outputs, score_threshold: float = 0.3, iou_threshold: float = 0.9
-):
-    """sigmoid-threshold + IoU NMS over instances
-    (`inference_xpose_on_video.py:785-850`); host-side numpy."""
-    final = outputs[-1]
-    logits = np.asarray(final["logits"])  # (B, G, N)
-    boxes = np.asarray(final["boxes"])  # (B, G, 4) cxcywh
-    kpts = np.asarray(final["keypoints"])  # (B, G, K, 2)
+# ---------------------------------------------------------------------------
+# host-side postprocess (sigmoid threshold + NMS — torchvision-free rebuild of
+# `inference_xpose_on_video.py:785-850`)
+# ---------------------------------------------------------------------------
+
+
+def postprocess(outputs, num_keypoints: int, score_threshold: float = 0.3,
+                iou_threshold: float = 0.9):
+    """outputs: dict from UniPose.__call__; returns per-image dicts."""
+    logits = np.asarray(outputs["pred_logits"], np.float32)  # (B, G, N)
+    boxes = np.asarray(outputs["pred_boxes"], np.float32)  # (B, G, 4) cxcywh
+    kpts = np.asarray(outputs["pred_keypoints"], np.float32)  # (B, G, 3K)
     results = []
     for b in range(logits.shape[0]):
-        scores = 1 / (1 + np.exp(-logits[b].max(-1)))
+        scores = 1.0 / (1.0 + np.exp(-logits[b].max(-1)))
         keep = scores > score_threshold
-        idx = np.argsort(-scores[keep])
-        bsel = boxes[b][keep][idx]
-        ksel = kpts[b][keep][idx]
-        ssel = scores[keep][idx]
+        bsel, ssel = boxes[b][keep], scores[keep]
+        ksel = kpts[b][keep][:, : 2 * num_keypoints].reshape(-1, num_keypoints, 2)
+        order = np.argsort(-ssel)
+        bsel, ssel, ksel = bsel[order], ssel[order], ksel[order]
         picked = []
         for i in range(len(bsel)):
-            ok = True
-            for j in picked:
-                if _iou_cxcywh(bsel[i], bsel[j]) > iou_threshold:
-                    ok = False
-                    break
-            if ok:
+            if all(_iou_cxcywh(bsel[i], bsel[j]) <= iou_threshold for j in picked):
                 picked.append(i)
-        results.append(
-            {"scores": ssel[picked], "boxes": bsel[picked], "keypoints": ksel[picked]}
-        )
+        results.append({"scores": ssel[picked], "boxes": bsel[picked],
+                        "keypoints": ksel[picked]})
     return results
 
 

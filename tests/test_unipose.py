@@ -1,13 +1,24 @@
-"""Swin backbone, CLIP text encoder, and UniPose structural tests."""
+"""Swin backbone, CLIP text encoder, and UniPose structural tests.
+
+(Numerical parity against the actual reference torch model lives in
+tests/test_unipose_parity.py.)
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mikudance_tpu.toolbox.clip_text import CLIPTextEncoder
-from mikudance_tpu.toolbox.swin import SwinTransformer, relative_position_index, shift_mask
-from mikudance_tpu.toolbox.unipose import UniPose, keypoint_group_mask, postprocess
+from mikudance_tpu.toolbox.swin import (
+    SwinTransformer,
+    relative_position_index,
+    shift_mask,
+)
+from mikudance_tpu.toolbox.unipose import (
+    UniPose,
+    keypoint_group_mask,
+    postprocess,
+)
 
 
 def test_relative_position_index():
@@ -45,28 +56,40 @@ def test_clip_text_shapes():
 
 
 def test_keypoint_group_mask():
-    m = keypoint_group_mask(3, 4)
-    assert m.shape == (12, 12)
-    assert not m[0, 3] and m[0, 4]  # within group ok, across blocked
-    assert not m.diagonal().any()
+    # 2 groups x (1 instance + 3 kpt) slots; last kpt of each group invisible
+    kpt_mask = jnp.asarray([[1.0, 1.0, 1.0, 0.0]])
+    m = np.asarray(keypoint_group_mask(kpt_mask, 2))
+    assert m.shape == (1, 8, 8)
+    assert not m[0, 0, 1]  # same group, both visible -> allowed
+    assert m[0, 0, 3]  # same group, visibility differs -> blocked
+    assert m[0, 3, 3] == False  # invis with itself (equal flags) -> allowed
+    assert m[0, 0, 4]  # cross-group -> blocked
+    assert m[0, 3, 7]  # cross-group even with equal flags -> blocked
 
 
 def test_unipose_forward_shapes():
+    """Tiny-but-structurally-complete UniPose: both decoder phases run."""
     model = UniPose(
-        hidden_dim=32, enc_layers=1, dec_layers=2, heads=4, points=2,
-        num_groups=3, num_body_points=5, text_dim=16,
+        hidden_dim=64, enc_layers=1, dec_layers=3, heads=4, points=2,
+        ffn_dim=128, num_queries=60, num_groups=4, num_body_points=20,
+        text_dim=16, swin_embed_dim=16, swin_depths=(1, 1, 1, 1),
+        swin_heads=(2, 2, 4, 4),
     )
-    # swin default is full Swin-T; shrink by overriding backbone via a tiny
-    # image (64x64 -> levels 8,4,2 + extra 1)
-    img = jnp.zeros((1, 64, 64, 3))
-    inst = jnp.zeros((1, 2, 16))
-    kpt = jnp.zeros((1, 5, 16))
-    p = jax.jit(model.init)(jax.random.PRNGKey(0), img, inst, kpt)
-    outs = jax.jit(model.apply)(p, img, inst, kpt)
-    assert len(outs) == 2
-    last = outs[-1]
-    assert last["logits"].shape == (1, 3, 2)
-    assert last["boxes"].shape == (1, 3, 4)
-    assert last["keypoints"].shape == (1, 3, 5, 2)
-    res = postprocess(jax.device_get(outs), score_threshold=-1.0)
-    assert len(res) == 1 and res[0]["keypoints"].shape[1:] == (5, 2)
+    B, N_TXT, K = 1, 3, 20  # K >= 17: the hw/hw_append split is fixed by the reference
+    img = jnp.zeros((B, 64, 64, 3))
+    obj = jnp.asarray(np.random.default_rng(0).normal(size=(B, N_TXT, 16)), jnp.float32)
+    mask = jnp.asarray([[True, True, False]])
+    kpt = jnp.asarray(np.random.default_rng(1).normal(size=(B, K, 16)), jnp.float32)
+    vis = jnp.ones((B, K))
+
+    p = jax.jit(model.init)(jax.random.PRNGKey(0), img, obj, mask, kpt, vis)
+    out = jax.jit(model.apply)(p, img, obj, mask, kpt, vis)
+    assert out["pred_logits"].shape == (B, 4, N_TXT)
+    assert out["pred_boxes"].shape == (B, 4, 4)
+    assert out["pred_keypoints"].shape == (B, 4, 3 * K)
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+    assert np.isfinite(np.asarray(out["pred_logits"][..., :2])).all()
+    assert np.all(np.asarray(out["pred_logits"])[..., 2] == -np.inf)
+
+    res = postprocess(jax.device_get(out), num_keypoints=K, score_threshold=-1.0)
+    assert len(res) == 1 and res[0]["keypoints"].shape[1:] == (K, 2)

@@ -25,7 +25,18 @@ SPECS = {
     "mikudance": ("JiaxuZ/MikuDance", ".",
                   ["denoising_unet-60000.pth", "reference_unet-60000.pth",
                    "motion_module-60000.pth"]),
+    # CLIP ViT-B/32 text tower + tokenizer files: UniPose embeds the
+    # instance/keypoint vocabulary with it (reference unipose.py:122-124).
+    "clip_text": ("openai/clip-vit-base-patch32", "clip-vit-base-patch32",
+                  ["config.json", "pytorch_model.bin", "vocab.json",
+                   "merges.txt", "tokenizer_config.json",
+                   "special_tokens_map.json"]),
 }
+
+# The UniPose detector checkpoint is distributed via Google Drive, not HF
+# (reference README.md:148): download unipose_swint.pth from
+# https://drive.google.com/file/d/13gANvGWyWApMFTAtC3ntrMgx0fOocjIa/view
+# and place it at ./pretrained_weights/unipose_swint.pth.
 
 
 def fetch(key):

@@ -1,16 +1,24 @@
 """Pose/face/hand skeleton-map extraction from a driving video.
 
-The framework's equivalent of the reference's XPose drivers
+The framework's equivalent of the reference's XPose video driver
 (`/root/reference/src/XPose/inference_xpose_on_video.py:985-1135`): run the
 UniPose open-vocabulary detector per frame for each vocabulary (person-17 /
-face-68 / hand-21), filter with sigmoid-threshold + NMS, and render the
-skeleton maps on a black canvas with the exact colormaps — producing the
-pose-/face-/hand-*.mp4 conditioning videos for inference_video.py.
+face-68 / hand-21), filter with sigmoid-threshold + NMS
+(`get_unipose_output_batch:853-925`), and render the skeleton maps on a black
+canvas with the exact colormaps — producing the pose-/face-/hand-*.mp4
+conditioning videos consumed by scripts/inference_video.py.
 
-Weights: needs converted UniPose + CLIP-text checkpoints; without them the
-detector is randomly initialized (structural smoke only) — pass
---synthetic_keypoints to instead render a synthetic keypoint track, which
-exercises the renderer contract end-to-end.
+Real detection path (mirrors the reference's preprocessing):
+  frames resized to short side 800 keeping aspect (T.RandomResize([800]),
+  rounded to /32 here so one jit program covers the video), ImageNet
+  normalization, CLIP ViT-B/32 text embeddings of "a photo of {name}"
+  (`text_encoding:22-45`), batched UniPose forward, per-image NMS.
+
+Weights: --unipose_ckpt (unipose_swint.pth, see tools/download_weights.py for
+the source) + --clip_dir (openai/clip-vit-base-patch32 snapshot with
+pytorch_model.bin and tokenizer files). Without weights pass
+--synthetic_keypoints to render a synthetic keypoint track, which exercises
+the renderer contract end-to-end.
 """
 
 from __future__ import annotations
@@ -27,6 +35,15 @@ from mikudance_tpu.toolbox import keypoints as kp
 from mikudance_tpu.toolbox import skeleton_render as sr
 from mikudance_tpu.utils import media
 
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+VOCABS = {
+    "person": (kp.PERSON_KEYPOINTS, sr.render_pose),
+    "face": (kp.FACE_KEYPOINTS, sr.render_face),
+    "hand": (kp.HAND_KEYPOINTS, sr.render_hand),
+}
+
 
 def synthetic_track(T: int, n: int, seed: int = 0) -> np.ndarray:
     """Smoothly-moving synthetic keypoints (renderer smoke path)."""
@@ -39,13 +56,105 @@ def synthetic_track(T: int, n: int, seed: int = 0) -> np.ndarray:
     return np.stack(out)
 
 
+def _strip_prefix(sd):
+    return { (k[7:] if k.startswith("module.") else k): v for k, v in sd.items() }
+
+
+class Detector:
+    """UniPose + CLIP-text wrapper: one jitted program reused across the
+    person/face/hand vocabularies (static shapes: N_TXT instance slots,
+    keypoint slots padded to num_body_points=68 with vis=0, exactly as the
+    reference pads to 100 and slices, `get_unipose_output:810-818`)."""
+
+    N_TXT = 4
+    K = 68
+
+    def __init__(self, unipose_ckpt: str, clip_dir: str, size_hw):
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from mikudance_tpu.core.convert import convert_clip_text_hf, convert_unipose
+        from mikudance_tpu.toolbox.clip_text import CLIPTextEncoder
+        from mikudance_tpu.toolbox.unipose import UniPose
+
+        self.jax, self.jnp = jax, jnp
+
+        ckpt = torch.load(unipose_ckpt, map_location="cpu", weights_only=False)
+        sd = _strip_prefix(ckpt.get("model", ckpt))
+        self.params = {"params": convert_unipose(sd)}
+
+        clip_sd = torch.load(os.path.join(clip_dir, "pytorch_model.bin"),
+                             map_location="cpu", weights_only=False)
+        self.clip_params = {"params": convert_clip_text_hf(clip_sd)}
+        from transformers import CLIPTokenizer
+
+        self.tokenizer = CLIPTokenizer.from_pretrained(clip_dir)
+        self.text_model = CLIPTextEncoder()
+        self.model = UniPose()
+        self.apply = jax.jit(self.model.apply)
+        self.size_hw = size_hw
+
+    def encode_text(self, names):
+        """CLIP embeddings of "a photo of {name}" (`text_encoding:22-45`)."""
+        prompts = [f"a photo of {n.lower().replace('_', ' ').replace('-', ' ')}"
+                   for n in names]
+        toks = self.tokenizer(prompts, padding="max_length", max_length=77,
+                              return_tensors="np")
+        ids = self.jnp.asarray(toks["input_ids"], self.jnp.int32)
+        return self.text_model.apply(self.clip_params, ids)  # (n, 512)
+
+    def detect(self, frames_np, instance: str, kpt_names,
+               box_threshold: float, iou_threshold: float):
+        """frames_np: (T, h, w, 3) float in [0,1] resized; returns per-frame
+        list of (n_i, len(kpt_names), 2) normalized keypoints."""
+        jnp = self.jnp
+        from mikudance_tpu.toolbox.unipose import postprocess
+
+        inst_emb = self.encode_text([instance])
+        kpt_emb = self.encode_text(kpt_names)
+
+        obj = jnp.zeros((1, self.N_TXT, 512)).at[0, :1].set(inst_emb)
+        mask = jnp.zeros((1, self.N_TXT), bool).at[0, :1].set(True)
+        kpt = jnp.zeros((1, self.K, 512)).at[0, :len(kpt_names)].set(kpt_emb)
+        vis = jnp.zeros((1, self.K)).at[0, :len(kpt_names)].set(1.0)
+
+        results = []
+        imgs = (frames_np - IMAGENET_MEAN) / IMAGENET_STD
+        for t in range(imgs.shape[0]):
+            out = self.apply(self.params, jnp.asarray(imgs[t : t + 1]),
+                             obj, mask, kpt, vis)
+            res = postprocess(out, num_keypoints=len(kpt_names),
+                              score_threshold=box_threshold,
+                              iou_threshold=iou_threshold)[0]
+            results.append(res["keypoints"])
+        return results
+
+
+def resize_short_side(frames, short: int = 800, multiple: int = 32):
+    """PIL frames -> (T, h, w, 3) float array, short side ~800 (reference's
+    T.RandomResize([800])), dims rounded to a multiple for one jit program."""
+    W, H = frames[0].size
+    scale = short / min(W, H)
+    w = max(multiple, int(round(W * scale / multiple)) * multiple)
+    h = max(multiple, int(round(H * scale / multiple)) * multiple)
+    return np.stack(
+        [np.asarray(f.resize((w, h)), np.float32) / 255.0 for f in frames])
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--video_path", "-i", required=True)
     p.add_argument("--save_dir", "-o", required=True)
-    p.add_argument("--unipose_ckpt", default=None)
+    p.add_argument("--unipose_ckpt", default="./pretrained_weights/unipose_swint.pth")
+    p.add_argument("--clip_dir", default="./pretrained_weights/clip-vit-base-patch32")
+    p.add_argument("--instance", default="all", choices=["person", "face", "hand", "all"])
     p.add_argument("--synthetic_keypoints", action="store_true")
-    p.add_argument("--score_threshold", type=float, default=0.3)
+    p.add_argument("--box_threshold", type=float, default=0.2)
+    p.add_argument("--iou_threshold", type=float, default=0.4)
+    p.add_argument("--real_human", action="store_true",
+                   help="driving video shows a real human (use the human-"
+                        "calibrated pose/face renderers)")
     args = p.parse_args()
 
     frames = media.read_frames(args.video_path)
@@ -55,48 +164,44 @@ def main():
     name = os.path.splitext(os.path.basename(args.video_path))[0]
     os.makedirs(args.save_dir, exist_ok=True)
 
+    wanted = list(VOCABS) if args.instance == "all" else [args.instance]
+
     if args.synthetic_keypoints:
-        pose_kpts = synthetic_track(T, 17, 0)
-        face_kpts = synthetic_track(T, 68, 1) * 0.3 + 0.35
-        hand_kpts = synthetic_track(T, 21, 2) * 0.2 + 0.4
+        tracks = {
+            "person": synthetic_track(T, 17, 0)[:, None],
+            "face": (synthetic_track(T, 68, 1) * 0.3 + 0.35)[:, None],
+            "hand": (synthetic_track(T, 21, 2) * 0.2 + 0.4)[:, None],
+        }  # (T, 1 person, K, 2)
+        dets = {k: [tracks[k][t] for t in range(T)] for k in wanted}
     else:
-        import jax
-        import jax.numpy as jnp
-
-        from mikudance_tpu.toolbox.unipose import UniPose, postprocess
-
-        model = UniPose()
-        if args.unipose_ckpt and os.path.exists(args.unipose_ckpt):
+        if not os.path.exists(args.unipose_ckpt):
             raise SystemExit(
-                "UniPose checkpoint conversion lands in the next round; use "
-                "--synthetic_keypoints or the reference XPose stack meanwhile."
-            )
-        print("WARNING: UniPose randomly initialized (no checkpoint) — smoke only")
-        rngk = jax.random.PRNGKey(0)
-        img0 = jnp.zeros((1, 512, 512, 3), jnp.float32)
-        inst = jnp.zeros((1, 1, 512), jnp.float32)
-        kpt68 = jnp.zeros((1, 68, 512), jnp.float32)
-        params = jax.jit(model.init)(rngk, img0, inst, kpt68)
-        apply = jax.jit(model.apply)
+                f"UniPose checkpoint not found at {args.unipose_ckpt} — see "
+                "tools/download_weights.py for sources, or pass "
+                "--synthetic_keypoints for the renderer-only smoke path.")
+        imgs = resize_short_side(frames)
+        det = Detector(args.unipose_ckpt, args.clip_dir, imgs.shape[1:3])
+        dets = {}
+        for vocab in wanted:
+            names, _ = VOCABS[vocab]
+            print(f"detecting '{vocab}' ({len(names)} keypoints) on {T} frames")
+            dets[vocab] = det.detect(imgs, vocab, names,
+                                     args.box_threshold, args.iou_threshold)
 
-        pose_kpts, face_kpts, hand_kpts = [], [], []
-        for fr in frames:
-            im = np.asarray(fr.resize((512, 512)), np.float32) / 255.0
-            outs = apply(params, jnp.asarray(im)[None], inst, kpt68)
-            res = postprocess(jax.device_get(outs), args.score_threshold)[0]
-            k = res["keypoints"][0] if len(res["keypoints"]) else np.zeros((68, 2))
-            pose_kpts.append(k[:17])
-            face_kpts.append(k[:68])
-            hand_kpts.append(k[:21])
-        pose_kpts, face_kpts, hand_kpts = map(np.stack, (pose_kpts, face_kpts, hand_kpts))
-
-    pose_v = np.stack([sr.render_pose(pose_kpts[t], W, H) for t in range(T)])
-    face_v = np.stack([sr.render_face(face_kpts[t], W, H) for t in range(T)])
-    hand_v = np.stack([sr.render_hand(hand_kpts[t], W, H) for t in range(T)])
-    media.write_video(pose_v, os.path.join(args.save_dir, f"pose-{name}.mp4"), fps)
-    media.write_video(face_v, os.path.join(args.save_dir, f"face-{name}.mp4"), fps)
-    media.write_video(hand_v, os.path.join(args.save_dir, f"hand-{name}.mp4"), fps)
-    print(f"saved pose/face/hand-{name}.mp4 to {args.save_dir}")
+    for vocab in wanted:
+        _, render = VOCABS[vocab]
+        if vocab == "person" and args.real_human:
+            render = lambda k, w, h: sr.render_human_pose(k, w, h)  # noqa: E731
+        elif vocab == "face" and args.real_human:
+            render = lambda k, w, h: sr.render_human_face(k, w, h)  # noqa: E731
+        video = np.stack([
+            render(np.asarray(dets[vocab][t]).reshape(-1, len(VOCABS[vocab][0]), 2),
+                   W, H)
+            for t in range(T)
+        ])
+        out = os.path.join(args.save_dir, f"{vocab}-{name}.mp4")
+        media.write_video(video, out, fps)
+        print(f"saved {out}")
 
 
 if __name__ == "__main__":
