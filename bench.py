@@ -71,11 +71,14 @@ def main():
     pipe = VideoPipeline(bundle, cfg)
 
     rng = np.random.default_rng(0)
-    ref = rng.uniform(-1, 1, (H, W, 3)).astype(np.float32)
-    skel = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
-    pose = rng.uniform(0, 1, (T, H, W, 3)).astype(np.float32)
-    face = np.zeros((T, H, W, 3), np.float32)
-    hand = np.zeros((T, H, W, 3), np.float32)
+    # image streams ship as uint8 and normalize on device (to_unit_float):
+    # the serving path's frames are uint8 media anyway, and fp32 H2D transfer
+    # cost 9.3 s of the round-1 35.5 s run.
+    ref = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+    skel = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+    pose = rng.integers(0, 256, (T, H, W, 3), dtype=np.uint8)
+    face = np.zeros((T, H, W, 3), np.uint8)
+    hand = np.zeros((T, H, W, 3), np.uint8)
     motion = np.zeros((T, h, w, 2), np.float32)
     ctx = rng.normal(0, 1, (1, 257, 768)).astype(np.float32)
     noise = rng.normal(0, 1, (T, h, w, 4)).astype(np.float32)

@@ -116,6 +116,176 @@ def _flash_kernel_resident(q_ref, k_ref, v_ref, o_ref, *, k_block: int, scale: f
 # K/V for one batch-head stay VMEM-resident below this footprint (bf16, both).
 RESIDENT_KV_BYTES = 6 * 1024 * 1024
 
+# Full-C kernels: K/V with ALL heads packed in the lane dim stay resident
+# below this (bf16, both, lane-padded). Pallas double-buffers inputs even for
+# constant index maps, so the effective VMEM cost is ~2x this: 7 MB keeps the
+# 2304-token level resident while the 9216-token top level streams K blocks.
+FULLC_RESIDENT_BYTES = 7 * 1024 * 1024
+
+
+def _lane_padded_bytes(S: int, C: int) -> int:
+    return S * ((C + LANES - 1) // LANES) * LANES * 2
+
+
+def _flash_kernel_fullc_resident(q_ref, k_ref, v_ref, o_ref, *, heads: int,
+                                 k_block: int, scale: float):
+    """All heads packed in the lane dim (C = heads*hd). Each head's lane range
+    is sliced in VMEM — no HBM-side head split / pad-to-128 materialization
+    (which cost ~2.4 s/run in pad + data-formatting fusions at 768^2). K/V for
+    one batch element stay resident across consecutive q blocks."""
+    qb, C = q_ref.shape[1:]
+    hd = C // heads
+    kv_len = k_ref.shape[1]
+    n_blocks = kv_len // k_block
+
+    for h in range(heads):
+        lo = h * hd
+        qh = q_ref[0, :, lo : lo + hd].astype(jnp.bfloat16)
+        m0 = jnp.full((qb, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((qb, 1), jnp.float32)
+        acc0 = jnp.zeros((qb, hd), jnp.float32)
+
+        def body(j, carry, lo=lo, qh=qh):
+            m, l, acc = carry
+            kh = k_ref[0, pl.ds(j * k_block, k_block), lo : lo + hd].astype(jnp.bfloat16)
+            vh = v_ref[0, pl.ds(j * k_block, k_block), lo : lo + hd].astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            correction = jnp.exp(m - m_new)
+            l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc * correction + pv
+
+        m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+        o_ref[0, :, lo : lo + hd] = (acc / l).astype(o_ref.dtype)
+
+
+def _flash_kernel_fullc_stream(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                               *, heads: int, scale: float):
+    """Streaming full-C variant (K/V too big for VMEM residency): grid walks
+    K blocks sequentially; fp32 online-softmax state per head persists in
+    scratch (m/l hold one lane column per head)."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+    qb, C = q_ref.shape[1:]
+    hd = C // heads
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for h in range(heads):
+        lo = h * hd
+        qh = q_ref[0, :, lo : lo + hd].astype(jnp.bfloat16)
+        kh = k_ref[0, :, lo : lo + hd].astype(jnp.bfloat16)
+        vh = v_ref[0, :, lo : lo + hd].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m_prev = m_ref[:, h : h + 1]
+        l_prev = l_ref[:, h : h + 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        correction = jnp.exp(m_prev - m_new)
+        l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:, lo : lo + hd] = acc_ref[:, lo : lo + hd] * correction + pv
+        m_ref[:, h : h + 1] = m_new
+        l_ref[:, h : h + 1] = l_new
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        for h in range(heads):
+            lo = h * hd
+            o_ref[0, :, lo : lo + hd] = (
+                acc_ref[:, lo : lo + hd] / l_ref[:, h : h + 1]
+            ).astype(o_ref.dtype)
+
+
+def flash_attention_fullc(
+    q: jnp.ndarray,  # (B, S, C), heads packed in C
+    k: jnp.ndarray,  # (B, Skv, C)
+    v: jnp.ndarray,  # (B, Skv, C)
+    heads: int,
+    scale: float,
+    q_block: int = DEFAULT_Q_BLOCK,
+    k_block: int = DEFAULT_K_BLOCK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, S, C = q.shape
+    Skv = k.shape[1]
+    assert S % q_block == 0 and Skv % k_block == 0
+
+    if 2 * _lane_padded_bytes(Skv, C) <= FULLC_RESIDENT_BYTES:
+        kernel = functools.partial(
+            _flash_kernel_fullc_resident, heads=heads, k_block=k_block, scale=scale)
+        return pl.pallas_call(
+            kernel,
+            grid=(B, S // q_block),
+            in_specs=[
+                pl.BlockSpec((1, q_block, C), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Skv, C), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Skv, C), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, q_block, C), lambda b, i: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, S, C), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * B * S * Skv * C,
+                bytes_accessed=2 * B * (2 * S + 2 * Skv) * C,
+                transcendentals=B * heads * S * Skv,
+            ),
+            interpret=interpret,
+        )(q, k, v)
+
+    kernel = functools.partial(_flash_kernel_fullc_stream, heads=heads, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, S // q_block, Skv // k_block),
+        in_specs=[
+            pl.BlockSpec((1, q_block, C), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_block, C), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_block, C), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, C), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, C), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((q_block, LANES), jnp.float32),  # per-head running max
+            pltpu.VMEM((q_block, LANES), jnp.float32),  # per-head sumexp
+            pltpu.VMEM((q_block, C), jnp.float32),  # packed accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * S * Skv * C,
+            bytes_accessed=2 * B * (S * C + 2 * Skv * C * (S // q_block)),
+            transcendentals=B * heads * S * Skv,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
 
 def flash_attention_padded(
     q: jnp.ndarray,  # (BH, S, D), D a lane multiple
@@ -204,15 +374,22 @@ def _flash(q, k, v, heads, q_block, k_block, interpret):
     Skv = k.shape[1]
     hd = C // heads
     scale = 1.0 / math.sqrt(hd)
-    # pad head_dim up to a lane multiple (40/80 -> 128, 160 -> 256)
-    D = ((hd + LANES - 1) // LANES) * LANES
+    if hd % LANES != 0:
+        # heads stay packed in the lane dim; the kernel slices each head's
+        # lane range in VMEM (hd in {40, 80}: zero-padding each head to 128
+        # lanes would materialize ~3x the tensor bytes in HBM first)
+        return flash_attention_fullc(
+            q, k, v, heads, scale, q_block=q_block, k_block=k_block,
+            interpret=interpret,
+        )
+    # lane-aligned head_dim (128/256): the classic head-split layout is free
     o = flash_attention_padded(
-        _split_heads(q, B, S, heads, hd, D),
-        _split_heads(k, B, Skv, heads, hd, D),
-        _split_heads(v, B, Skv, heads, hd, D),
+        _split_heads(q, B, S, heads, hd, hd),
+        _split_heads(k, B, Skv, heads, hd, hd),
+        _split_heads(v, B, Skv, heads, hd, hd),
         scale, q_block=q_block, k_block=k_block, interpret=interpret,
     )
-    o = o[:, :, :hd].reshape(B, heads, S, hd).transpose(0, 2, 1, 3)
+    o = o.reshape(B, heads, S, hd).transpose(0, 2, 1, 3)
     return o.reshape(B, S, C)
 
 
@@ -283,12 +460,23 @@ def _largest_divisor(S: int, cap: int, mult: int):
     return None
 
 
+# Measured-fastest (q_block, k_block) per sequence length on the real chip
+# (sweep at B=32, heads=8): 9216 tokens 85ms @ (512,1024) vs 110ms @ (256,1024);
+# 2304 tokens 9.5ms @ (384,768) vs 13ms @ (256,576). Larger blocks fail VMEM.
+TUNED_BLOCKS = {
+    9216: (512, 1024),  # 768^2 level-0 (stream path)
+    2304: (384, 768),  # 768^2 level-1 (resident path)
+}
+
+
 def pick_blocks(S: int):
-    """(q_block, k_block) dividing S. Prefer the measured-fastest 128-ladder
-    pair; fall back to any 16-multiple divisors (bf16 sublane tiling) so
+    """(q_block, k_block) dividing S. Tuned table first, then the 128-ladder
+    heuristic; fall back to any 16-multiple divisors (bf16 sublane tiling) so
     non-128-aligned sequences (e.g. 576^2 training: 5184 = 40.5*128) still
     run flash."""
-    q_block = next((b for b in (256, 128) if S % b == 0), None)
+    if S in TUNED_BLOCKS:
+        return TUNED_BLOCKS[S]
+    q_block = next((b for b in (512, 256, 128) if S % b == 0), None)
     k_block = next((b for b in (1024, 512, 256, 128) if S % b == 0), None)
     if q_block is None:
         q_block = _largest_divisor(S, 512, 16)

@@ -63,7 +63,11 @@ def temporal_attention_fused(
     k: jnp.ndarray,
     v: jnp.ndarray,
     heads: int,
-    rows_per_tile: int = 512,
+    # 128 rows = 8 positions x 16 frames: the (rows x rows) score matmul is
+    # block-diagonal with T x T blocks, so its useful fraction is T/rows —
+    # smaller tiles waste 4x less MXU than 512 while M=128 still fills the
+    # systolic array's output tile. HBM traffic is tile-size independent.
+    rows_per_tile: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
     N, T, C = q.shape

@@ -169,6 +169,20 @@ def decode_frames(
     return _decode_chunked(vae_dec, dec_params, latents)
 
 
+def to_unit_float(x, signed: bool) -> jnp.ndarray:
+    """Device-side image normalization. uint8 inputs are shipped to the
+    device RAW and scaled there: the host->device link is the bottleneck
+    (354 MB of fp32 frames took 9.3 s of the 35 s headline run), so frames
+    travel at 1 byte/px. signed=True -> [-1, 1] (VAE image range), else [0, 1]
+    (the condition streams, matching the reference's do_normalize=False
+    processor, `pipeline_mikudance.py:341-360`)."""
+    x = jnp.asarray(x)
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32)
+        return x / 127.5 - 1.0 if signed else x / 255.0
+    return x
+
+
 def build_condition_stack(
     ref_latent: jnp.ndarray,  # (1, h, w, 4)
     skel_latent: jnp.ndarray,  # (1, h, w, 4)
@@ -381,11 +395,11 @@ class VideoPipeline:
     # ------------------------------------------------------------------- call
     def __call__(
         self,
-        ref_image: np.ndarray,  # (H, W, 3) in [-1, 1]
-        ref_skel: np.ndarray,  # (H, W, 3) in [0, 1]
-        pose_frames: np.ndarray,  # (T, H, W, 3) in [0, 1]
-        face_frames: np.ndarray,  # (T, H, W, 3) in [0, 1]
-        hand_frames: np.ndarray,  # (T, H, W, 3) in [0, 1]
+        ref_image: np.ndarray,  # (H, W, 3) in [-1, 1] float, or raw uint8
+        ref_skel: np.ndarray,  # (H, W, 3) in [0, 1] float, or raw uint8
+        pose_frames: np.ndarray,  # (T, H, W, 3) in [0, 1] float, or raw uint8
+        face_frames: np.ndarray,  # (T, H, W, 3) in [0, 1] float, or raw uint8
+        hand_frames: np.ndarray,  # (T, H, W, 3) in [0, 1] float, or raw uint8
         scene_motion: np.ndarray,  # (T, h, w, 2) latent-res flow
         clip_context: np.ndarray,  # (1, S, 768) CLIP image tokens of ref image
         noise: np.ndarray,  # (T, h, w, 4) initial gaussian latents
@@ -407,14 +421,15 @@ class VideoPipeline:
             ).shape
             mesh = mesh_lib.choose_2d_mesh(self.devices, 2 * nw0[0], nw0[1])
 
-        # 1. batched VAE encodes (one call for every condition stream)
+        # 1. batched VAE encodes (one call for every condition stream).
+        # uint8 inputs ship raw and normalize on device (see to_unit_float).
         all_frames = jnp.concatenate(
             [
-                jnp.asarray(ref_image)[None],
-                jnp.asarray(ref_skel)[None],
-                jnp.asarray(pose_frames),
-                jnp.asarray(face_frames),
-                jnp.asarray(hand_frames),
+                to_unit_float(ref_image, signed=True)[None],
+                to_unit_float(ref_skel, signed=False)[None],
+                to_unit_float(pose_frames, signed=False),
+                to_unit_float(face_frames, signed=False),
+                to_unit_float(hand_frames, signed=False),
             ],
             axis=0,
         )

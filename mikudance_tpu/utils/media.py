@@ -102,6 +102,17 @@ def to_vae_input(
     return x
 
 
+def to_u8_frame(img: Image.Image, height: int, width: int) -> np.ndarray:
+    """(H, W, 3) uint8, resized only. The pipeline normalizes ON DEVICE
+    (pipelines/video.py::to_unit_float) so frames cross the slow host->device
+    link at 1 byte per pixel instead of 4."""
+    return np.asarray(img.resize((width, height), Image.LANCZOS), np.uint8)
+
+
+def frames_to_u8(frames: List[Image.Image], height: int, width: int) -> np.ndarray:
+    return np.stack([to_u8_frame(f, height, width) for f in frames])
+
+
 def frames_to_vae_input(
     frames: List[Image.Image], height: int, width: int, normalize: bool = False
 ) -> np.ndarray:

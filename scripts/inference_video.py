@@ -95,11 +95,12 @@ def main():
 
     ref_pil = media.load_image(cfg["ref_image_path"])
     skel_pil = media.load_image(cfg["ref_skel_path"])
-    ref = media.to_vae_input(ref_pil, height, width, normalize=True)
-    skel = media.to_vae_input(skel_pil, height, width, normalize=False)
-    pose = media.frames_to_vae_input(pose_pils, height, width)
-    face = media.frames_to_vae_input(face_pils, height, width)
-    hand = media.frames_to_vae_input(hand_pils, height, width)
+    # uint8 end-to-end: frames normalize on device (4x less H2D traffic)
+    ref = media.to_u8_frame(ref_pil, height, width)
+    skel = media.to_u8_frame(skel_pil, height, width)
+    pose = media.frames_to_u8(pose_pils, height, width)
+    face = media.frames_to_u8(face_pils, height, width)
+    hand = media.frames_to_u8(hand_pils, height, width)
 
     # ------------------------------------------------------------- models
     ref_path = _opt(cfg, "reference_unet_path")
