@@ -35,6 +35,10 @@ FORCE_XLA = False  # set True to bypass Pallas (non-TPU compile targets)
 DEFAULT_Q_BLOCK = 256
 DEFAULT_K_BLOCK = 512
 NEG_INF = -1e30
+# Softmax in base 2: fold ln(2)^-1 into the Q scaling so the hot (bq, bk)
+# passes use the single-op exp2 instead of exp, and skip the explicit
+# `s * scale` pass entirely (the scale rides on the tiny (bq, hd) Q slice).
+LOG2E = 1.4426950408889634
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: float):
@@ -140,7 +144,8 @@ def _flash_kernel_fullc_resident(q_ref, k_ref, v_ref, o_ref, *, heads: int,
 
     for h in range(heads):
         lo = h * hd
-        qh = q_ref[0, :, lo : lo + hd].astype(jnp.bfloat16)
+        qh = (q_ref[0, :, lo : lo + hd].astype(jnp.float32)
+              * (scale * LOG2E)).astype(jnp.bfloat16)
         m0 = jnp.full((qb, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((qb, 1), jnp.float32)
         acc0 = jnp.zeros((qb, hd), jnp.float32)
@@ -151,10 +156,10 @@ def _flash_kernel_fullc_resident(q_ref, k_ref, v_ref, o_ref, *, heads: int,
             vh = v_ref[0, pl.ds(j * k_block, k_block), lo : lo + hd].astype(jnp.bfloat16)
             s = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale
+            )  # log2-domain scores: scale*log2(e) folded into q
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            correction = jnp.exp(m - m_new)
+            p = jnp.exp2(s - m_new)
+            correction = jnp.exp2(m - m_new)
             l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
                 p.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
@@ -184,17 +189,18 @@ def _flash_kernel_fullc_stream(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref
 
     for h in range(heads):
         lo = h * hd
-        qh = q_ref[0, :, lo : lo + hd].astype(jnp.bfloat16)
+        qh = (q_ref[0, :, lo : lo + hd].astype(jnp.float32)
+              * (scale * LOG2E)).astype(jnp.bfloat16)
         kh = k_ref[0, :, lo : lo + hd].astype(jnp.bfloat16)
         vh = v_ref[0, :, lo : lo + hd].astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        )  # log2-domain scores
         m_prev = m_ref[:, h : h + 1]
         l_prev = l_ref[:, h : h + 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        correction = jnp.exp(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
+        correction = jnp.exp2(m_prev - m_new)
         l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
@@ -287,6 +293,85 @@ def flash_attention_fullc(
     )(q, k, v)
 
 
+def _cross_kernel_fullc(q_ref, k_ref, v_ref, o_ref, *, heads: int,
+                        kv_len: int, scale: float):
+    """Cross-attention over a SHORT key/value sequence (CLIP context, 257
+    tokens): K/V stay VMEM-resident across the whole grid; softmax is
+    single-shot (no online accumulation). Replaces the dense XLA path that
+    materialized (B, heads, S, 257) fp32 score tensors in HBM (~2.4 GB at
+    768^2 level 0 and ~20 ms/step in softmax fusions alone)."""
+    qb, C = q_ref.shape[1:]
+    hd = C // heads
+    kvp = k_ref.shape[1]
+
+    key_id = jax.lax.broadcasted_iota(jnp.int32, (qb, kvp), 1)
+    pad_mask = key_id < kv_len
+
+    for h in range(heads):
+        lo = h * hd
+        qh = (q_ref[0, :, lo : lo + hd].astype(jnp.float32)
+              * (scale * LOG2E)).astype(jnp.bfloat16)
+        kh = k_ref[0, :, lo : lo + hd].astype(jnp.bfloat16)
+        vh = v_ref[0, :, lo : lo + hd].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = jnp.where(pad_mask, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(jnp.bfloat16)
+        o_ref[0, :, lo : lo + hd] = jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def flash_attention_cross(
+    q: jnp.ndarray,  # (B, S, C), heads packed in C
+    k: jnp.ndarray,  # (B, Skv, C), Skv small (<= ~512)
+    v: jnp.ndarray,
+    heads: int,
+    scale: float,
+    q_block: int = DEFAULT_Q_BLOCK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, S, C = q.shape
+    kv_len = k.shape[1]
+    assert S % q_block == 0
+    pad = (-kv_len) % 8  # sublane alignment
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    kvp = k.shape[1]
+
+    kernel = functools.partial(
+        _cross_kernel_fullc, heads=heads, kv_len=kv_len, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, S // q_block),
+        in_specs=[
+            pl.BlockSpec((1, q_block, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvp, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvp, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, C), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * S * kvp * C,
+            bytes_accessed=2 * B * (2 * S + 2 * kvp) * C,
+            transcendentals=B * heads * S * kvp,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
 def flash_attention_padded(
     q: jnp.ndarray,  # (BH, S, D), D a lane multiple
     k: jnp.ndarray,  # (BH, Skv, D)
@@ -374,6 +459,11 @@ def _flash(q, k, v, heads, q_block, k_block, interpret):
     Skv = k.shape[1]
     hd = C // heads
     scale = 1.0 / math.sqrt(hd)
+    if Skv != S and Skv <= 512:
+        # short-KV cross-attention (CLIP context): resident K/V, one-shot softmax
+        return flash_attention_cross(
+            q, k, v, heads, scale, q_block=q_block, interpret=interpret
+        )
     if hd % LANES != 0:
         # heads stay packed in the lane dim; the kernel slices each head's
         # lane range in VMEM (hd in {40, 80}: zero-padding each head to 128
@@ -498,13 +588,23 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int) -> jnp
     dense XLA otherwise (cross-attention over 257 CLIP tokens and the
     576/144-token UNet levels)."""
     from .small_attention import grouped_small_attention
-    from .temporal_attention import temporal_attention_fused
+    from .temporal_attention import (
+        temporal_attention_btpc,
+        temporal_attention_fused,
+        temporal_attention_xla,
+    )
 
-    S_q, S_kv = q.shape[1], k.shape[1]
     # FORCE_XLA routes around the Pallas kernels — used when tracing for a
     # non-default backend (e.g. the virtual CPU mesh while the axon TPU is the
     # default backend, where jax.default_backend() misleads the dispatch).
     on_tpu = (not FORCE_XLA) and jax.default_backend() == "tpu"
+    if q.ndim == 4:
+        # (B, T, P, C): per-position attention across frames in the motion
+        # module's native layout (no transpose ever hits HBM)
+        if on_tpu:
+            return temporal_attention_btpc(q, k, v, heads)
+        return temporal_attention_xla(q, k, v, heads)
+    S_q, S_kv = q.shape[1], k.shape[1]
     if S_q == S_kv and S_q <= 32 and q.shape[0] >= 64:
         if on_tpu:
             return temporal_attention_fused(q, k, v, heads)
@@ -512,6 +612,10 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int) -> jnp
     if on_tpu and _use_flash(S_q, S_kv):
         qb, kb = pick_blocks(S_q)
         return flash_attention(q, k, v, heads, q_block=qb, k_block=kb)
+    if on_tpu and S_q >= 1024 and S_kv != S_q and S_kv <= 512:
+        qb, kb = pick_blocks(S_q)
+        if qb is not None and qb >= 64:
+            return flash_attention(q, k, v, heads, q_block=qb, k_block=kb)
     return _layers.dot_product_attention(q, k, v, heads)
 
 

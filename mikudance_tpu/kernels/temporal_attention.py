@@ -35,18 +35,21 @@ def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, T: int, heads: int, scale: f
     grp_t = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // T
     mask = grp == grp_t
 
+    LOG2E = 1.4426950408889634
     outs = []
     for h in range(heads):
         sl = slice(h * hd, (h + 1) * hd)
-        qh = q_ref[:, sl].astype(jnp.bfloat16)
+        # scale*log2(e) folded into the tiny (rows, hd) Q slice: the (rows,
+        # rows) passes below then use single-op exp2 with no scale multiply
+        qh = (q_ref[:, sl].astype(jnp.float32) * (scale * LOG2E)).astype(jnp.bfloat16)
         kh = k_ref[:, sl].astype(jnp.bfloat16)
         vh = v_ref[:, sl].astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        )
         s = jnp.where(mask, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         p = (p / l).astype(jnp.bfloat16)
         outs.append(
@@ -112,6 +115,133 @@ def temporal_attention_fused(
     )(qf, kf, vf)
     o = o.reshape(-1, T, C)
     return o[:N] if pad_n else o
+
+
+def _temporal_kernel_btpc(q_ref, k_ref, v_ref, o_ref, *, T: int, pb: int,
+                          heads: int, scale: float):
+    """(1, T, pb, C) tile — the motion module's NATIVE token layout, so no
+    HBM-side (B,T,HW,C)->(B*HW,T,C) transpose is ever materialized (those
+    copies cost ~0.7 s/run at 768^2). Rows flatten as r = t*pb + p; two rows
+    attend iff they share the spatial position: (i % pb) == (j % pb)."""
+    LOG2E = 1.4426950408889634
+    Tq, pbq, C = q_ref.shape[1:]
+    hd = C // heads
+    rows = Tq * pbq
+
+    rid = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    cid = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    mask = (rid % pb) == (cid % pb)
+
+    q = q_ref[0].reshape(rows, C)
+    k = k_ref[0].reshape(rows, C)
+    v = v_ref[0].reshape(rows, C)
+    outs = []
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh = (q[:, sl].astype(jnp.float32) * (scale * LOG2E)).astype(jnp.bfloat16)
+        kh = k[:, sl].astype(jnp.bfloat16)
+        vh = v[:, sl].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = jnp.where(mask, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(jnp.bfloat16)
+        outs.append(
+            jax.lax.dot_general(
+                p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        )
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype).reshape(Tq, pbq, C)
+
+
+def temporal_attention_xla(q, k, v, heads):
+    """Dense XLA twin of the (B, T, P, C) kernel (CPU / mesh-trace fallback,
+    and the exact backward for the custom VJP)."""
+    B, T, P, C = q.shape
+    hd = C // heads
+    scale = 1.0 / math.sqrt(hd)
+
+    def split(x):
+        return x.reshape(B, T, P, heads, hd)
+
+    qh, kh, vh = split(q), split(k), split(v)
+    s = jnp.einsum("btphd,bsphd->bphts", qh, kh,
+                   preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bphts,bsphd->btphd", w, vh)
+    return o.reshape(B, T, P, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def temporal_attention_btpc(
+    q: jnp.ndarray,  # (B, T, P, C)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    # 512 rows measured fastest at level 0 (B=2,T=16,P=9216,C=320): 10.1 ms vs
+    # 20.7 ms at 128 rows — grid-step overhead beats the block-diagonal MXU
+    # waste on this chip.
+    rows_per_tile: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, T, P, C = q.shape
+    hd = C // heads
+    scale = 1.0 / math.sqrt(hd)
+
+    # VMEM budget: 4 tiles (q/k/v/o) double-buffered plus fp32 score/softmax
+    # intermediates must fit the ~16 MB scoped limit; 512 rows at C=320
+    # (~330 KB/tile) is measured-fastest, wider channels scale rows down
+    # proportionally (C=1280 OOMs at 512 rows).
+    rows_cap = max(64, (rows_per_tile * 320) // C)
+    pb = max(1, min(rows_per_tile, rows_cap) // T)
+    g = 8 // math.gcd(T, 8)  # T*pb must be a multiple of 8 (sublane tiling)
+    pb = max(g, pb - pb % g)
+    pad_p = (-P) % pb
+
+    def padp(x):
+        if pad_p:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_p), (0, 0)))
+        return x
+
+    qf, kf, vf = padp(q), padp(k), padp(v)
+    Pp = qf.shape[2]
+    kernel = functools.partial(
+        _temporal_kernel_btpc, T=T, pb=pb, heads=heads, scale=scale)
+    spec = pl.BlockSpec((1, T, pb, C), lambda b, i: (b, 0, i, 0),
+                        memory_space=pltpu.VMEM)
+    o = pl.pallas_call(
+        kernel,
+        grid=(B, Pp // pb),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, Pp, C), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Pp * T * (T * pb) * C,
+            bytes_accessed=8 * B * T * Pp * C,
+            transcendentals=B * (T * Pp) * (T * pb),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return o[:, :, :P] if pad_p else o
+
+
+def _btpc_fwd(q, k, v, heads, rows_per_tile, interpret):
+    return temporal_attention_btpc(q, k, v, heads, rows_per_tile, interpret), (q, k, v)
+
+
+def _btpc_bwd(heads, rows_per_tile, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: temporal_attention_xla(a, b, c, heads), q, k, v)
+    return vjp(g)
+
+
+temporal_attention_btpc.defvjp(_btpc_fwd, _btpc_bwd)
 
 
 def _fused_fwd(q, k, v, heads, rows_per_tile, interpret):

@@ -67,7 +67,14 @@ def dot_product_attention(
 
     The XLA path; the Pallas flash kernel (kernels/flash_attention.py) replaces
     this on TPU for long sequences via `attention_backend`.
+
+    4D inputs (B, T, P, C) mean per-position temporal attention (the motion
+    module's native layout) — attend over axis 1 independently per position p.
     """
+    if q.ndim == 4:
+        from ..kernels.temporal_attention import temporal_attention_xla
+
+        return temporal_attention_xla(q, k, v, heads)
     B, Sq, C = q.shape
     Sk = k.shape[1]
     head_dim = C // heads

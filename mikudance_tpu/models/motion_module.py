@@ -49,28 +49,38 @@ class TemporalAttentionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: (B*HW, T, C) pre-normed tokens; returns attention output."""
+        """x: (B*HW, T, C) or (B, T, P, C) pre-normed tokens.
+
+        The 4D layout is the module's native one — frames stay on axis 1 so
+        the attention kernel reads (1, T, pb, C) tiles straight from the
+        feature map with no HBM transpose."""
         T = x.shape[1]
         kv = x  # pre-PE alias, replicating motion_module.py:404-417
         if self.use_pe:
             pe = jnp.asarray(temporal_positional_encoding(self.max_len, self.dim))
-            x = x + pe[None, :T, :].astype(x.dtype)
+            pe = pe[:T].astype(x.dtype)
+            x = x + (pe[None, :, None, :] if x.ndim == 4 else pe[None, :, :])
         return Attention(self.dim, self.heads, dtype=self.dtype, name="attn")(x, kv)
 
 
 class MotionModule(nn.Module):
     """Full temporal transformer applied to a (B, T, H, W, C) feature map.
 
+    Token layout: (B, T, P=H*W, C) END TO END — the frame axis never swaps
+    with the spatial axis in HBM (the (B,T,HW,C)->(B*HW,T,C) transposes of a
+    naive port cost ~0.7 s/run at 768^2); the temporal attention kernel
+    consumes this layout directly (kernels/temporal_attention.py:btpc).
+
     Frame-axis SPMD (inference sharding): when the module runs inside a
     ``shard_map`` whose mesh shards the frame axis (`frame_axis`/`frame_shards`
     set), every op here except the temporal attention is frame-local. The
     temporal section reshard is Ulysses-style: one ``all_to_all`` turns
-    (spatial-local? no -> frames-local) tokens into (spatial-sharded,
-    all-frames) tokens, the attention blocks run on full sequences with full
-    positional encodings, and the inverse ``all_to_all`` restores the frame
-    sharding — numerically identical to the unsharded module. When the local
-    token count does not divide by the shard count (tiny deep levels), fall
-    back to all_gather + duplicate compute + local slice (still exact).
+    frames-local tokens into (spatial-sharded, all-frames) tokens, the
+    attention blocks run on full sequences with full positional encodings,
+    and the inverse ``all_to_all`` restores the frame sharding — numerically
+    identical to the unsharded module. When the local position count does not
+    divide by the shard count (tiny deep levels), fall back to all_gather +
+    duplicate compute + local slice (still exact).
     """
 
     dim: int
@@ -92,17 +102,16 @@ class MotionModule(nn.Module):
         h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm")(h)
         h = h.reshape(B, T, H * W, C)
         h = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(h)
-
-        # (B, T, HW, C) -> (B*HW, T, C): temporal tokens per spatial location.
-        h = h.transpose(0, 2, 1, 3).reshape(B * H * W, T, self.dim)
+        # tokens stay (B, T, P, C): per-position temporal attention reads this
+        # layout directly (4D path in kernels dispatch)
 
         sp = self.frame_shards if self.frame_axis is not None else 1
         gathered = False
         if sp > 1:
-            if (B * H * W) % sp == 0:
-                # frames-local -> spatial-sharded, all frames present
+            if (H * W) % sp == 0:
+                # frames-local -> position-sharded, all frames present
                 h = jax.lax.all_to_all(
-                    h, self.frame_axis, split_axis=0, concat_axis=1, tiled=True
+                    h, self.frame_axis, split_axis=2, concat_axis=1, tiled=True
                 )
             else:
                 gathered = True
@@ -134,11 +143,11 @@ class MotionModule(nn.Module):
                 h = jax.lax.dynamic_slice_in_dim(h, idx * T, T, axis=1)
             else:
                 h = jax.lax.all_to_all(
-                    h, self.frame_axis, split_axis=1, concat_axis=0, tiled=True
+                    h, self.frame_axis, split_axis=1, concat_axis=2, tiled=True
                 )
 
         h = nn.Dense(
             C, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out"
         )(h)
-        h = h.reshape(B, H * W, T, C).transpose(0, 2, 1, 3).reshape(B, T, H, W, C)
+        h = h.reshape(B, T, H, W, C)
         return h + residual

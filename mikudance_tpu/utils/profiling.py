@@ -57,7 +57,9 @@ def op_profile_summary(log_dir: str, top: int = 12) -> List[Tuple[float, str]]:
     """Top op categories by self time from an xplane trace (needs xprof)."""
     from xprof.convert import raw_to_tool_data as rtd
 
-    files = glob.glob(f"{log_dir}/plugins/profile/*/*.xplane.pb")
+    # one session only: mixing xplane files from different profile sessions
+    # makes the converter return None
+    files = sorted(glob.glob(f"{log_dir}/plugins/profile/*/*.xplane.pb"))[-1:]
     data, _ = rtd.xspace_to_tool_data(files, "op_profile", {})
     d = json.loads(data) if isinstance(data, (str, bytes)) else data
 
