@@ -102,6 +102,29 @@ def run_attention(q, k, v, heads):
     return _ATTENTION_IMPL["fn"](q, k, v, heads)
 
 
+class FusedGroupNorm(nn.Module):
+    """Drop-in for ``nn.GroupNorm`` (same param names/shapes) that runs the
+    two-pass Pallas kernel on TPU, with an optional fused SiLU. XLA's in-graph
+    GroupNorm reduces run at ~10% HBM bandwidth inside the denoise scan; the
+    kernel streams at 2 reads + 1 write (kernels/group_norm.py)."""
+
+    num_groups: int
+    epsilon: float = 1e-5
+    act: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..kernels.group_norm import fused_group_norm
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return fused_group_norm(
+            x, scale, bias, self.num_groups, self.epsilon, self.act
+        ).astype(self.dtype)
+
+
 class Attention(nn.Module):
     """diffusers-style Attention: to_q/to_k/to_v (no bias), to_out (bias).
 
@@ -203,9 +226,7 @@ class SpatialTransformer(nn.Module):
     ):
         B, H, W, C = x.shape
         residual = x
-        h = nn.GroupNorm(
-            num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm"
-        )(x)
+        h = FusedGroupNorm(self.norm_groups, 1e-6, dtype=self.dtype, name="norm")(x)
         # SD1.5 uses a 1x1 conv projection (use_linear_projection=False); on a
         # NHWC token layout that's exactly a Dense over the channel axis.
         h = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(h)

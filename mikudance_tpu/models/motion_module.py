@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .layers import Attention, GEGLUFeedForward
+from .layers import Attention, FusedGroupNorm, GEGLUFeedForward
 
 
 def temporal_positional_encoding(max_len: int, dim: int) -> np.ndarray:
@@ -99,7 +99,7 @@ class MotionModule(nn.Module):
         B, T, H, W, C = x.shape
         residual = x
         h = x.reshape(B * T, H, W, C)
-        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm")(h)
+        h = FusedGroupNorm(self.norm_groups, 1e-6, dtype=self.dtype, name="norm")(h)
         h = h.reshape(B, T, H * W, C)
         h = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(h)
         # tokens stay (B, T, P, C): per-position temporal attention reads this

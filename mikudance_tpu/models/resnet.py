@@ -13,6 +13,8 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .layers import FusedGroupNorm
+
 
 def conv3x3(features: int, dtype=jnp.float32, name: Optional[str] = None, stride: int = 1):
     # Explicit ((1,1),(1,1)) padding matches torch Conv2d(k=3, p=1) for every
@@ -38,8 +40,8 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None):
-        h = nn.GroupNorm(self.norm_groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = FusedGroupNorm(self.norm_groups, self.eps, act="silu",
+                           dtype=self.dtype, name="norm1")(x)
         h = conv3x3(self.out_channels, self.dtype, "conv1")(h)
 
         if self.use_time_emb and temb is not None:
@@ -48,8 +50,8 @@ class ResnetBlock(nn.Module):
             )
             h = h + t[:, None, None, :]
 
-        h = nn.GroupNorm(self.norm_groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = FusedGroupNorm(self.norm_groups, self.eps, act="silu",
+                           dtype=self.dtype, name="norm2")(h)
         h = conv3x3(self.out_channels, self.dtype, "conv2")(h)
 
         if x.shape[-1] != self.out_channels:

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.configs import DenoisingUNetConfig, GuidanceUNetConfig, UNetConfig
-from .layers import SpatialTransformer, TimestepEmbed, get_timestep_embedding
+from .layers import (FusedGroupNorm, SpatialTransformer, TimestepEmbed,
+                     get_timestep_embedding)
 from .man import MANBlock
 from .motion_module import MotionModule
 from .resnet import Downsample, ResnetBlock, Upsample, conv3x3
@@ -243,8 +244,7 @@ class DenoisingUNet(nn.Module):
             if i < u.num_blocks - 1:
                 h = Upsample(out_ch, self.dtype, name=f"up_{i}_up")(h)
 
-        h = nn.GroupNorm(u.norm_num_groups, epsilon=u.norm_eps, dtype=self.dtype,
-                         name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = FusedGroupNorm(u.norm_num_groups, u.norm_eps, act="silu",
+                           dtype=self.dtype, name="conv_norm_out")(h)
         h = conv3x3(u.out_channels, self.dtype, "conv_out")(h)
         return unfold(h)

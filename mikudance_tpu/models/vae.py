@@ -22,6 +22,7 @@ from flax import linen as nn
 
 from ..core.configs import VAEConfig
 from .layers import run_attention
+from .layers import FusedGroupNorm
 from .resnet import conv3x3
 
 
@@ -32,11 +33,11 @@ class VAEResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = FusedGroupNorm(self.norm_groups, 1e-6, act="silu", dtype=self.dtype,
+                           name="norm1")(x)
         h = conv3x3(self.out_channels, self.dtype, "conv1")(h)
-        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = FusedGroupNorm(self.norm_groups, 1e-6, act="silu", dtype=self.dtype,
+                           name="norm2")(h)
         h = conv3x3(self.out_channels, self.dtype, "conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
@@ -53,7 +54,7 @@ class VAEAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, H, W, C = x.shape
-        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
+        h = FusedGroupNorm(self.norm_groups, 1e-6, dtype=self.dtype, name="group_norm")(x)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
@@ -106,8 +107,8 @@ class Encoder(nn.Module):
         h = VAEResnetBlock(ch[-1], g, self.dtype, name="mid_res_0")(h)
         h = VAEAttention(ch[-1], g, self.dtype, name="mid_attn")(h)
         h = VAEResnetBlock(ch[-1], g, self.dtype, name="mid_res_1")(h)
-        h = nn.GroupNorm(g, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = FusedGroupNorm(g, 1e-6, act="silu", dtype=self.dtype,
+                           name="conv_norm_out")(h)
         h = conv3x3(2 * self.cfg.latent_channels, self.dtype, "conv_out")(h)
         h = nn.Conv(2 * self.cfg.latent_channels, (1, 1), dtype=self.dtype, name="quant_conv")(h)
         return h  # (B, H/8, W/8, 8) moments: [mean(4) | logvar(4)]
@@ -138,8 +139,8 @@ class Decoder(nn.Module):
                 h = VAEResnetBlock(c, g, self.dtype, name=f"up_{i}_res_{j}")(h)
             if i < len(rev) - 1:
                 h = VAEUpsample(c, self.dtype, name=f"up_{i}_up")(h)
-        h = nn.GroupNorm(g, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = FusedGroupNorm(g, 1e-6, act="silu", dtype=self.dtype,
+                           name="conv_norm_out")(h)
         return conv3x3(self.cfg.out_channels, self.dtype, "conv_out")(h)
 
 

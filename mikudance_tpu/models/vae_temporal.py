@@ -24,6 +24,7 @@ from flax import linen as nn
 
 from ..core.configs import VAEConfig
 from .resnet import conv3x3
+from .layers import FusedGroupNorm as _FGN
 from .vae import VAEAttention, VAEUpsample
 
 
@@ -54,11 +55,9 @@ class TemporalResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = _FGN(self.norm_groups, 1e-6, act="silu", dtype=self.dtype, name="norm1")(x)
         h = TemporalConv(self.out_channels, self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = _FGN(self.norm_groups, 1e-6, act="silu", dtype=self.dtype, name="norm2")(h)
         h = TemporalConv(self.out_channels, self.dtype, name="conv2")(h)
         return x + h
 
@@ -74,11 +73,9 @@ class SpatioTemporalResBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # spatial part (frames folded in batch implicitly: T is the batch axis)
-        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="spatial_norm1")(x)
-        h = nn.silu(h)
+        h = _FGN(self.norm_groups, 1e-6, act="silu", dtype=self.dtype, name="spatial_norm1")(x)
         h = conv3x3(self.out_channels, self.dtype, "spatial_conv1")(h)
-        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="spatial_norm2")(h)
-        h = nn.silu(h)
+        h = _FGN(self.norm_groups, 1e-6, act="silu", dtype=self.dtype, name="spatial_norm2")(h)
         h = conv3x3(self.out_channels, self.dtype, "spatial_conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
@@ -118,8 +115,7 @@ class TemporalDecoder(nn.Module):
                 h = SpatioTemporalResBlock(c, self.cfg.norm_num_groups, self.dtype, name=f"up_{i}_res_{j}")(h)
             if i < len(rev) - 1:
                 h = VAEUpsample(c, self.dtype, name=f"up_{i}_up")(h)
-        h = nn.GroupNorm(self.cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype,
-                         name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = _FGN(self.cfg.norm_num_groups, 1e-6, act="silu", dtype=self.dtype,
+                 name="conv_norm_out")(h)
         h = conv3x3(self.cfg.out_channels, self.dtype, "conv_out")(h)
         return TemporalConv(self.cfg.out_channels, self.dtype, name="time_conv_out")(h)
