@@ -16,9 +16,36 @@ from flax import linen as nn
 from .layers import FusedGroupNorm
 
 
+class FusedConv3x3(nn.Module):
+    """3x3 stride-1 SAME conv, param-compatible with ``nn.Conv`` (same
+    kernel/bias names and shapes), running the Pallas implicit-GEMM kernel on
+    TPU (kernels/conv2d.py) and the XLA conv elsewhere."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..kernels.conv2d import conv3x3_fused
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return conv3x3_fused(x.astype(self.dtype), kernel, bias).astype(self.dtype)
+
+
 def conv3x3(features: int, dtype=jnp.float32, name: Optional[str] = None, stride: int = 1):
     # Explicit ((1,1),(1,1)) padding matches torch Conv2d(k=3, p=1) for every
     # stride (jax 'SAME' pads asymmetrically for stride 2).
+    # NOTE: measured end-to-end, XLA's in-graph convs (85-92 TF/s standalone,
+    # with fused bias/silu/residual epilogues) beat routing through the Pallas
+    # kernel (kernels/conv2d.py, ~70-93 TF/s but epilogues unfused): 28.9 s vs
+    # 29.8 s on the headline bench — so the model path stays on nn.Conv and
+    # FusedConv3x3 remains available for shapes where XLA's layout choices
+    # degrade (it forces row-major operands).
     return nn.Conv(
         features,
         (3, 3),

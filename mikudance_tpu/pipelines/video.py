@@ -421,8 +421,11 @@ class VideoPipeline:
             ).shape
             mesh = mesh_lib.choose_2d_mesh(self.devices, 2 * nw0[0], nw0[1])
 
-        # 1. batched VAE encodes (one call for every condition stream).
-        # uint8 inputs ship raw and normalize on device (see to_unit_float).
+        # 1. batched VAE encodes (ONE call for every condition stream —
+        # measured faster than per-stream calls: the host link pays a high
+        # per-transfer latency, so one big transfer beats four pipelined
+        # ones). uint8 inputs ship raw and normalize on device
+        # (see to_unit_float).
         all_frames = jnp.concatenate(
             [
                 to_unit_float(ref_image, signed=True)[None],
