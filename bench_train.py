@@ -1,9 +1,15 @@
-"""Stage-2 training-step benchmark: 576^2, bs 1, 20-frame clip (the
-reference's stage-2 geometry, `configs/train/train_stage2.yaml:1-24`) on the
+"""Stage-2 training-step benchmark: 576^2, bs 1 (the reference's stage-2
+geometry is 20-frame clips, `configs/train/train_stage2.yaml:1-24`) on the
 real TPU chip.
 
 Covers the perf paths the headline inference bench does not: the 5184-token
 (576^2 / 8 -> 72x72) flash-attention blocks and the motion-module backward.
+
+Clip length: the reference trains bs1/20f on 40+ GB GPUs; one v5e chip has
+16 GB HBM, so the bench walks a frame ladder (20 -> 14 -> 10) and reports the
+longest clip that compiles (the per-frame cost is what transfers; stage-2
+training at full clip length is a multi-chip job on v5e — the train step
+shards over the data mesh, see __graft_entry__.dryrun_multichip).
 Prints ONE JSON line like bench.py.
 """
 
@@ -29,15 +35,15 @@ from mikudance_tpu.train.steps import (  # noqa: E402
     make_train_step,
 )
 
-B, T, H, W = 1, 20, 576, 576
+B, H, W = 1, 576, 576
 h, w = H // 8, W // 8
 DTYPE = jnp.bfloat16
 
 
-def main():
+def run_step(T: int):
     rng = jax.random.PRNGKey(0)
-    guide = GuidanceUNet(GuidanceUNetConfig(), dtype=DTYPE)
-    den = DenoisingUNet(DenoisingUNetConfig(), dtype=DTYPE)
+    guide = GuidanceUNet(GuidanceUNetConfig(), dtype=DTYPE, remat=True)
+    den = DenoisingUNet(DenoisingUNetConfig(), dtype=DTYPE, remat=True)
 
     gp = jax.jit(guide.init)(
         rng, jnp.zeros((1, h, w, 20), DTYPE), jnp.zeros((1, h, w, 2), DTYPE),
@@ -50,7 +56,7 @@ def main():
 
     cfg = TrainConfig(trainable_substrings=("motion", "man_"))  # stage-2 freeze set
     schedule = DDIMSchedule.create(beta_schedule="scaled_linear")
-    state, tx = init_train_state(cfg, gp, dp)
+    state, tx = init_train_state(cfg, gp, dp, frozen_dtype=DTYPE)
     step = jax.jit(make_train_step(cfg, schedule, guide, den, tx), donate_argnums=0)
 
     rnp = np.random.default_rng(0)
@@ -71,14 +77,38 @@ def main():
         loss = float(m["loss"])  # force completion
         times.append(time.perf_counter() - t0)
     assert np.isfinite(loss)
-    sec = float(np.median(times))
+    return float(np.median(times))
 
-    print(json.dumps({
-        "metric": "sec per stage-2 train step (576^2, bs1, 20 frames, 1x v5e)",
-        "value": round(sec, 3),
-        "unit": "s",
-        "vs_baseline": None,
-    }))
+
+def main():
+    import subprocess
+    import sys
+
+    if len(sys.argv) > 1:  # child mode: one geometry, clean device state
+        T = int(sys.argv[1])
+        sec = run_step(T)
+        print(json.dumps({
+            "metric": f"sec per stage-2 train step (576^2, bs1, {T} frames, 1x v5e)",
+            "value": round(sec, 3),
+            "unit": "s",
+            "vs_baseline": None,
+        }))
+        return
+
+    # parent: walk the frame ladder, one subprocess per geometry so a failed
+    # (OOM) attempt cannot leak device buffers into the next one
+    for T in (20, 14, 10):
+        r = subprocess.run(
+            [sys.executable, __file__, str(T)], capture_output=True, text=True,
+            timeout=1700,
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return
+        sys.stderr.write(f"[bench_train] {T} frames failed "
+                         f"(rc={r.returncode}): {r.stderr.strip()[-400:]}\n")
+    raise SystemExit("no clip length fit")
 
 
 if __name__ == "__main__":

@@ -487,17 +487,26 @@ def _flash_fwd(q, k, v, heads, q_block, k_block, interpret):
     return _flash(q, k, v, heads, q_block, k_block, interpret), (q, k, v)
 
 
+def _bwd_chunk(S: int) -> int:
+    """Backward recompute chunk: independent of the forward q_block. Smaller
+    chunks bound the fp32 (B, H, chunk, S) score buffers inside the scan body
+    (432x5184 chunks held 1.35 GB x2 during stage-2 training)."""
+    return _largest_divisor(S, 160, 16) or S
+
+
 def _flash_bwd(heads, q_block, k_block, interpret, res, g):
     """Chunked-dense backward: recompute P per query block so peak memory is
-    O(q_block * S) instead of O(S^2). Runs as plain XLA (one scan program)."""
+    O(chunk * S) instead of O(S^2). Runs as plain XLA (one scan program);
+    q/k/v stay bf16, every contraction accumulates in fp32."""
     q, k, v = res
     B, S, C = q.shape
     Skv = k.shape[1]
     hd = C // heads
     scale = 1.0 / math.sqrt(hd)
+    q_block = _bwd_chunk(S)
 
     def heads_first(x, s):
-        return x.reshape(B, s, heads, hd).transpose(0, 2, 1, 3).astype(jnp.float32)
+        return x.reshape(B, s, heads, hd).transpose(0, 2, 1, 3)
 
     qh, kh, vh = heads_first(q, S), heads_first(k, Skv), heads_first(v, Skv)
     gh = heads_first(g, S)
@@ -505,16 +514,25 @@ def _flash_bwd(heads, q_block, k_block, interpret, res, g):
     qc = qh.reshape(B, heads, n_chunks, q_block, hd).transpose(2, 0, 1, 3, 4)
     gc = gh.reshape(B, heads, n_chunks, q_block, hd).transpose(2, 0, 1, 3, 4)
 
+    f32 = jnp.float32
+
     def body(carry, qg):
         dk, dv = carry
-        q_blk, g_blk = qg  # (B, H, bq, hd)
-        s = jnp.einsum("bhqd,bhkd->bhqk", q_blk, kh) * scale
+        q_blk, g_blk = qg  # (B, H, bq, hd) bf16
+        s = jnp.einsum("bhqd,bhkd->bhqk", q_blk, kh,
+                       preferred_element_type=f32) * scale
         p = jax.nn.softmax(s, axis=-1)
-        dv = dv + jnp.einsum("bhqk,bhqd->bhkd", p, g_blk)
-        dp = jnp.einsum("bhqd,bhkd->bhqk", g_blk, vh)
+        pl_ = p.astype(q.dtype)
+        dv = dv + jnp.einsum("bhqk,bhqd->bhkd", pl_, g_blk,
+                             preferred_element_type=f32)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", g_blk, vh,
+                        preferred_element_type=f32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq_blk = jnp.einsum("bhqk,bhkd->bhqd", ds, kh) * scale
-        dk = dk + jnp.einsum("bhqk,bhqd->bhkd", ds, q_blk) * scale
+        ds_l = ds.astype(q.dtype)
+        dq_blk = jnp.einsum("bhqk,bhkd->bhqd", ds_l, kh,
+                            preferred_element_type=f32) * scale
+        dk = dk + jnp.einsum("bhqk,bhqd->bhkd", ds_l, q_blk,
+                             preferred_element_type=f32) * scale
         return (dk, dv), dq_blk
 
     zeros = jnp.zeros((B, heads, Skv, hd), jnp.float32)

@@ -197,8 +197,9 @@ def temporal_attention_btpc(
     # proportionally (C=1280 OOMs at 512 rows).
     rows_cap = max(64, (rows_per_tile * 320) // C)
     pb = max(1, min(rows_per_tile, rows_cap) // T)
-    g = 8 // math.gcd(T, 8)  # T*pb must be a multiple of 8 (sublane tiling)
-    pb = max(g, pb - pb % g)
+    # pb is the block's second-to-last dim -> must itself be a multiple of 8
+    # (Mosaic tiling), which also makes rows = T*pb 8-aligned for any T
+    pb = max(8, pb - pb % 8)
     pad_p = (-P) % pb
 
     def padp(x):

@@ -175,6 +175,9 @@ class TransformerBlock(nn.Module):
     heads: int
     cross_dim: int = 768
     dtype: jnp.dtype = jnp.float32
+    # nested remat: bound the backward working set of the 4x-width GEGLU
+    # (its (tokens, 8*dim) intermediate is the largest activation at 576^2)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -184,6 +187,7 @@ class TransformerBlock(nn.Module):
         ref: Optional[jnp.ndarray] = None,
         write: bool = False,
     ):
+        FF = nn.remat(GEGLUFeedForward) if self.remat else GEGLUFeedForward
         norm_h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         bank_out = norm_h if write else None
 
@@ -198,7 +202,7 @@ class TransformerBlock(nn.Module):
         x = x + attn2(norm2, context)
 
         norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
-        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(norm3)
+        x = x + FF(self.dim, dtype=self.dtype, name="ff")(norm3)
         return x, bank_out
 
 
@@ -215,6 +219,7 @@ class SpatialTransformer(nn.Module):
     cross_dim: int = 768
     norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -232,7 +237,8 @@ class SpatialTransformer(nn.Module):
         h = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(h)
         h = h.reshape(B, H * W, self.dim)
         h, bank = TransformerBlock(
-            self.dim, self.heads, self.cross_dim, dtype=self.dtype, name="block"
+            self.dim, self.heads, self.cross_dim, dtype=self.dtype,
+            remat=self.remat, name="block"
         )(h, context, ref=ref, write=write)
         h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
         h = h.reshape(B, H, W, C)

@@ -93,9 +93,12 @@ class MotionModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
     frame_axis: Optional[str] = None  # mesh axis name sharding the frame dim
     frame_shards: int = 1  # size of that mesh axis (static)
+    remat: bool = False  # nested remat of attention/FF sublayers (training)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        TAL = nn.remat(TemporalAttentionLayer) if self.remat else TemporalAttentionLayer
+        FF = nn.remat(GEGLUFeedForward) if self.remat else GEGLUFeedForward
         B, T, H, W, C = x.shape
         residual = x
         h = x.reshape(B * T, H, W, C)
@@ -122,7 +125,7 @@ class MotionModule(nn.Module):
                 normed = nn.LayerNorm(
                     epsilon=1e-5, dtype=self.dtype, name=f"blocks_{b}_norm_{a}"
                 )(h)
-                h = h + TemporalAttentionLayer(
+                h = h + TAL(
                     self.dim,
                     self.heads,
                     self.max_len,
@@ -133,7 +136,7 @@ class MotionModule(nn.Module):
             ff_norm = nn.LayerNorm(
                 epsilon=1e-5, dtype=self.dtype, name=f"blocks_{b}_ff_norm"
             )(h)
-            h = h + GEGLUFeedForward(self.dim, dtype=self.dtype, name=f"blocks_{b}_ff")(
+            h = h + FF(self.dim, dtype=self.dtype, name=f"blocks_{b}_ff")(
                 ff_norm
             )
 

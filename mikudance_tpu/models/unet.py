@@ -62,6 +62,10 @@ def _up_block_channels(cfg: UNetConfig, i: int):
 class GuidanceUNet(nn.Module):
     cfg: GuidanceUNetConfig = GuidanceUNetConfig()
     dtype: jnp.dtype = jnp.float32
+    # Rematerialize per-block activations in the backward pass (stage-2
+    # training at 576^2/20 frames overflows the 16 GB HBM without it;
+    # inference keeps False). Param tree is unaffected.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -75,6 +79,10 @@ class GuidanceUNet(nn.Module):
         ch = u.block_out_channels
         heads = u.attention_heads
         banks: Dict[str, jnp.ndarray] = {}
+        RB, ST = ResnetBlock, SpatialTransformer
+        if self.remat:
+            RB = nn.remat(ResnetBlock)
+            ST = nn.remat(SpatialTransformer, static_argnums=(4,))  # 0 is self
 
         t_emb = get_timestep_embedding(
             timesteps, ch[0], u.flip_sin_to_cos, u.freq_shift
@@ -88,13 +96,14 @@ class GuidanceUNet(nn.Module):
             is_final = i == u.num_blocks - 1
             has_attn = not is_final
             for j in range(u.layers_per_block):
-                h = ResnetBlock(ch[i], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
-                                name=f"down_{i}_res_{j}")(h, temb)
+                h = RB(ch[i], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
+                       name=f"down_{i}_res_{j}")(h, temb)
                 if has_attn:
-                    h, bank = SpatialTransformer(
+                    h, bank = ST(
                         ch[i], heads, u.cross_attention_dim, u.norm_num_groups,
-                        dtype=self.dtype, name=f"down_{i}_attn_{j}",
-                    )(h, context, write=True)
+                        dtype=self.dtype, remat=self.remat,
+                        name=f"down_{i}_attn_{j}",
+                    )(h, context, None, True)
                     banks[f"down_{i}_{j}"] = bank
                 skips.append(h)
             if not is_final:
@@ -107,15 +116,15 @@ class GuidanceUNet(nn.Module):
                     h, motion_map
                 )
 
-        h = ResnetBlock(ch[-1], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
-                        name="mid_res_0")(h, temb)
-        h, bank = SpatialTransformer(
+        h = RB(ch[-1], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
+               name="mid_res_0")(h, temb)
+        h, bank = ST(
             ch[-1], heads, u.cross_attention_dim, u.norm_num_groups,
-            dtype=self.dtype, name="mid_attn",
-        )(h, context, write=True)
+            dtype=self.dtype, remat=self.remat, name="mid_attn",
+        )(h, context, None, True)
         banks["mid"] = bank
-        h = ResnetBlock(ch[-1], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
-                        name="mid_res_1")(h, temb)
+        h = RB(ch[-1], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
+               name="mid_res_1")(h, temb)
 
         for i in range(u.num_blocks):
             _, out_ch, _ = _up_block_channels(u, i)
@@ -123,13 +132,14 @@ class GuidanceUNet(nn.Module):
             for j in range(u.layers_per_block + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResnetBlock(out_ch, u.norm_num_groups, u.norm_eps, dtype=self.dtype,
-                                name=f"up_{i}_res_{j}")(h, temb)
+                h = RB(out_ch, u.norm_num_groups, u.norm_eps, dtype=self.dtype,
+                       name=f"up_{i}_res_{j}")(h, temb)
                 if has_attn:
-                    h, bank = SpatialTransformer(
+                    h, bank = ST(
                         out_ch, heads, u.cross_attention_dim, u.norm_num_groups,
-                        dtype=self.dtype, name=f"up_{i}_attn_{j}",
-                    )(h, context, write=True)
+                        dtype=self.dtype, remat=self.remat,
+                        name=f"up_{i}_attn_{j}",
+                    )(h, context, None, True)
                     banks[f"up_{i}_{j}"] = bank
             if i < u.num_blocks - 1:
                 h = Upsample(out_ch, self.dtype, name=f"up_{i}_up")(h)
@@ -148,11 +158,16 @@ class DenoisingUNet(nn.Module):
     # else in this UNet is frame-local. Param tree is unaffected.
     frame_axis: Optional[str] = None
     frame_shards: int = 1
+    # Rematerialize per-block activations in the backward pass (stage-2
+    # training at 576^2/20 frames overflows the 16 GB HBM without it).
+    remat: bool = False
 
     def _motion(self, name: str, dim: int):
         m = self.cfg.motion
-        return MotionModule(
+        cls = nn.remat(MotionModule) if self.remat else MotionModule
+        return cls(
             dim,
+            remat=self.remat,
             heads=m.num_attention_heads,
             num_transformer_blocks=m.num_transformer_blocks,
             attention_layers=m.attention_layers_per_block,
@@ -177,6 +192,10 @@ class DenoisingUNet(nn.Module):
         heads = u.attention_heads
         use_motion = self.cfg.motion.enabled
         B, T, H, W, C = sample.shape
+        RB, ST = ResnetBlock, SpatialTransformer
+        if self.remat:
+            RB = nn.remat(ResnetBlock)
+            ST = nn.remat(SpatialTransformer, static_argnums=(4,))  # 0 is self
 
         def fold(x):  # (B, T, h, w, c) -> (B*T, h, w, c)
             return x.reshape((B * T,) + x.shape[2:])
@@ -201,13 +220,14 @@ class DenoisingUNet(nn.Module):
             is_final = i == u.num_blocks - 1
             has_attn = not is_final
             for j in range(u.layers_per_block):
-                h = ResnetBlock(ch[i], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
-                                name=f"down_{i}_res_{j}")(h, temb_f)
+                h = RB(ch[i], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
+                       name=f"down_{i}_res_{j}")(h, temb_f)
                 if has_attn:
-                    h, _ = SpatialTransformer(
+                    h, _ = ST(
                         ch[i], heads, u.cross_attention_dim, u.norm_num_groups,
-                        dtype=self.dtype, name=f"down_{i}_attn_{j}",
-                    )(h, ctx_f, ref=ref(f"down_{i}_{j}"))
+                        dtype=self.dtype, remat=self.remat,
+                        name=f"down_{i}_attn_{j}",
+                    )(h, ctx_f, ref(f"down_{i}_{j}"), False)
                 if use_motion:
                     h = fold(self._motion(f"down_{i}_motion_{j}", ch[i])(unfold(h)))
                 skips.append(h)
@@ -215,16 +235,16 @@ class DenoisingUNet(nn.Module):
                 h = Downsample(ch[i], self.dtype, name=f"down_{i}_down")(h)
                 skips.append(h)
 
-        h = ResnetBlock(ch[-1], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
-                        name="mid_res_0")(h, temb_f)
-        h, _ = SpatialTransformer(
+        h = RB(ch[-1], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
+               name="mid_res_0")(h, temb_f)
+        h, _ = ST(
             ch[-1], heads, u.cross_attention_dim, u.norm_num_groups,
-            dtype=self.dtype, name="mid_attn",
-        )(h, ctx_f, ref=ref("mid"))
+            dtype=self.dtype, remat=self.remat, name="mid_attn",
+        )(h, ctx_f, ref("mid"), False)
         if use_motion and self.cfg.motion.mid_block:
             h = fold(self._motion("mid_motion", ch[-1])(unfold(h)))
-        h = ResnetBlock(ch[-1], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
-                        name="mid_res_1")(h, temb_f)
+        h = RB(ch[-1], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
+               name="mid_res_1")(h, temb_f)
 
         for i in range(u.num_blocks):
             _, out_ch, _ = _up_block_channels(u, i)
@@ -232,13 +252,14 @@ class DenoisingUNet(nn.Module):
             for j in range(u.layers_per_block + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResnetBlock(out_ch, u.norm_num_groups, u.norm_eps, dtype=self.dtype,
-                                name=f"up_{i}_res_{j}")(h, temb_f)
+                h = RB(out_ch, u.norm_num_groups, u.norm_eps, dtype=self.dtype,
+                       name=f"up_{i}_res_{j}")(h, temb_f)
                 if has_attn:
-                    h, _ = SpatialTransformer(
+                    h, _ = ST(
                         out_ch, heads, u.cross_attention_dim, u.norm_num_groups,
-                        dtype=self.dtype, name=f"up_{i}_attn_{j}",
-                    )(h, ctx_f, ref=ref(f"up_{i}_{j}"))
+                        dtype=self.dtype, remat=self.remat,
+                        name=f"up_{i}_attn_{j}",
+                    )(h, ctx_f, ref(f"up_{i}_{j}"), False)
                 if use_motion:
                     h = fold(self._motion(f"up_{i}_motion_{j}", out_ch)(unfold(h)))
             if i < u.num_blocks - 1:

@@ -84,8 +84,19 @@ class TrainState:
     step: jnp.ndarray
 
 
-def init_train_state(cfg: TrainConfig, guide_params, den_params) -> Tuple[TrainState, Any]:
+def init_train_state(
+    cfg: TrainConfig, guide_params, den_params, frozen_dtype=None
+) -> Tuple[TrainState, Any]:
+    """frozen_dtype: storage dtype for non-trainable params (their optimizer
+    branch is set_to_zero, so e.g. bf16 storage is lossless for training and
+    halves the HBM held by the ~1.7B frozen SD weights — stage-2 at 576^2/20f
+    does not fit a 16 GB chip with everything in fp32)."""
     params = {"guide": guide_params["params"], "den": den_params["params"]}
+    if frozen_dtype is not None:
+        mask = trainable_mask(params, cfg.trainable_substrings)
+        params = jax.tree_util.tree_map(
+            lambda p, m: p if m else p.astype(frozen_dtype), params, mask
+        )
     tx = make_optimizer(cfg, params)
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
 
@@ -160,6 +171,20 @@ def diffusion_loss(
     return loss, {"loss": loss, "t_mean": t.astype(jnp.float32).mean()}
 
 
+def _partition(params, mask):
+    """(trainable, frozen) trees with None placeholders (eqx-style)."""
+    train = jax.tree_util.tree_map(lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree_util.tree_map(lambda p, m: None if m else p, params, mask)
+    return train, frozen
+
+
+def _combine(a, b):
+    isnone = lambda x: x is None  # noqa: E731
+    return jax.tree_util.tree_map(
+        lambda x, y: y if x is None else x, a, b, is_leaf=isnone
+    )
+
+
 def make_train_step(
     cfg: TrainConfig,
     schedule: DDIMSchedule,
@@ -167,13 +192,26 @@ def make_train_step(
     den: DenoisingUNet,
     tx,
 ):
-    """Returns a jittable (state, batch, rng) -> (state, metrics) step."""
+    """Returns a jittable (state, batch, rng) -> (state, metrics) step.
+
+    Gradients are taken ONLY w.r.t. the trainable partition: differentiating
+    the full tree would materialize an fp32 cotangent for every frozen SD
+    weight (~8.7 GB at stage 2) that the masked optimizer then throws away —
+    partitioning keeps the step inside a 16 GB chip."""
 
     def step(state: TrainState, batch, rng):
-        def loss_fn(params):
+        mask = trainable_mask(state.params, cfg.trainable_substrings)
+        train_p, frozen_p = _partition(state.params, mask)
+
+        def loss_fn(tp):
+            params = _combine(tp, frozen_p)
             return diffusion_loss(cfg, schedule, guide, den, params, batch, rng)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, metrics), tgrads = jax.value_and_grad(loss_fn, has_aux=True)(train_p)
+        # zeros for the frozen partition (their transform is set_to_zero)
+        grads = _combine(
+            tgrads, jax.tree_util.tree_map(jnp.zeros_like, frozen_p)
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.step + 1)
