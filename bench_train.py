@@ -6,10 +6,11 @@ Covers the perf paths the headline inference bench does not: the 5184-token
 (576^2 / 8 -> 72x72) flash-attention blocks and the motion-module backward.
 
 Clip length: the reference trains bs1/20f on 40+ GB GPUs; one v5e chip has
-16 GB HBM, so the bench walks a frame ladder (20 -> 14 -> 10) and reports the
-longest clip that compiles (the per-frame cost is what transfers; stage-2
-training at full clip length is a multi-chip job on v5e — the train step
-shards over the data mesh, see __graft_entry__.dryrun_multichip).
+16 GB HBM, so the bench walks a frame ladder and reports the longest clip
+that runs (10 frames: per-block remat + bf16 frozen storage + a
+trainable-partition-only optimizer; the per-frame cost is what transfers;
+stage-2 training at full clip length is a multi-chip job on v5e — the train
+step shards over the data mesh, see __graft_entry__.dryrun_multichip).
 Prints ONE JSON line like bench.py.
 """
 
@@ -96,8 +97,13 @@ def main():
         return
 
     # parent: walk the frame ladder, one subprocess per geometry so a failed
-    # (OOM) attempt cannot leak device buffers into the next one
-    for T in (20, 14, 10):
+    # (OOM) attempt cannot leak device buffers into the next one. 10 frames is
+    # the measured 16 GB ceiling: the step's live set is ~9.0 GB static
+    # (frozen bf16 params + trainable fp32 + adam moments) + ~0.65 GB/frame
+    # of rematerialized activations (memory_analysis: temp 6.54 GB at T=10,
+    # peak 15.5 GB), so 14/20-frame attempts only waste their ~20-min remote
+    # compiles before the inevitable runtime OOM.
+    for T in (10, 6, 4):
         r = subprocess.run(
             [sys.executable, __file__, str(T)], capture_output=True, text=True,
             timeout=1700,

@@ -132,47 +132,59 @@ def _lane_padded_bytes(S: int, C: int) -> int:
 
 
 def _flash_kernel_fullc_resident(q_ref, k_ref, v_ref, o_ref, *, heads: int,
-                                 k_block: int, scale: float):
+                                 k_block: int, scale: float, fuse_ones: bool):
     """All heads packed in the lane dim (C = heads*hd). Each head's lane range
     is sliced in VMEM — no HBM-side head split / pad-to-128 materialization
     (which cost ~2.4 s/run in pad + data-formatting fusions at 768^2). K/V for
-    one batch element stay resident across consecutive q blocks."""
+    one batch element stay resident across consecutive q blocks.
+
+    With ``fuse_ones`` (see ``_augment_v``), v_ref carries hd+1 lanes per
+    head, the extra lane all-ones: P.V and rowsum(P) come out of ONE MXU
+    pass, removing the per-block lane-reduction for the softmax denominator
+    from the VPU (the kernel is VPU-bound: 41 TF/s measured vs the 61 TF/s
+    head_dim-40 MXU ceiling; the fusion measured 43)."""
     qb, C = q_ref.shape[1:]
     hd = C // heads
+    hv = hd + 1 if fuse_ones else hd
     kv_len = k_ref.shape[1]
     n_blocks = kv_len // k_block
 
     for h in range(heads):
         lo = h * hd
+        lov = h * hv
         qh = (q_ref[0, :, lo : lo + hd].astype(jnp.float32)
               * (scale * LOG2E)).astype(jnp.bfloat16)
         m0 = jnp.full((qb, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((qb, 1), jnp.float32)
         acc0 = jnp.zeros((qb, hd), jnp.float32)
 
-        def body(j, carry, lo=lo, qh=qh):
+        def body(j, carry, lo=lo, lov=lov, qh=qh):
             m, l, acc = carry
             kh = k_ref[0, pl.ds(j * k_block, k_block), lo : lo + hd].astype(jnp.bfloat16)
-            vh = v_ref[0, pl.ds(j * k_block, k_block), lo : lo + hd].astype(jnp.bfloat16)
+            vh = v_ref[0, pl.ds(j * k_block, k_block), lov : lov + hv].astype(jnp.bfloat16)
             s = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )  # log2-domain scores: scale*log2(e) folded into q
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp2(s - m_new)
+            p = jnp.exp2(s - m_new).astype(jnp.bfloat16)
             correction = jnp.exp2(m - m_new)
-            l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
+                p, vh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
-            return m_new, l_new, acc * correction + pv
+            )  # fused: (qb, hd+1), last column = rowsum(p)
+            if fuse_ones:
+                l_new = l * correction + pv[:, hd:]
+            else:
+                l_new = l * correction + jnp.sum(
+                    p.astype(jnp.float32), axis=-1, keepdims=True)
+            return m_new, l_new, acc * correction + pv[:, :hd]
 
         m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
         o_ref[0, :, lo : lo + hd] = (acc / l).astype(o_ref.dtype)
 
 
 def _flash_kernel_fullc_stream(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                               *, heads: int, scale: float):
+                               *, heads: int, scale: float, fuse_ones: bool):
     """Streaming full-C variant (K/V too big for VMEM residency): grid walks
     K blocks sequentially; fp32 online-softmax state per head persists in
     scratch (m/l hold one lane column per head)."""
@@ -187,26 +199,32 @@ def _flash_kernel_fullc_stream(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    hv = hd + 1 if fuse_ones else hd
     for h in range(heads):
         lo = h * hd
+        lov = h * hv
         qh = (q_ref[0, :, lo : lo + hd].astype(jnp.float32)
               * (scale * LOG2E)).astype(jnp.bfloat16)
         kh = k_ref[0, :, lo : lo + hd].astype(jnp.bfloat16)
-        vh = v_ref[0, :, lo : lo + hd].astype(jnp.bfloat16)
+        vh = v_ref[0, :, lov : lov + hv].astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # log2-domain scores
         m_prev = m_ref[:, h : h + 1]
         l_prev = l_ref[:, h : h + 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp2(s - m_new)
+        p = jnp.exp2(s - m_new).astype(jnp.bfloat16)
         correction = jnp.exp2(m_prev - m_new)
-        l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
+            p, vh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        acc_ref[:, lo : lo + hd] = acc_ref[:, lo : lo + hd] * correction + pv
+        )  # fused: (qb, hd+1), last column = rowsum(p) from the same MXU pass
+        if fuse_ones:
+            l_new = l_prev * correction + pv[:, hd:]
+        else:
+            l_new = l_prev * correction + jnp.sum(
+                p.astype(jnp.float32), axis=-1, keepdims=True)
+        acc_ref[:, lo : lo + hd] = acc_ref[:, lo : lo + hd] * correction + pv[:, :hd]
         m_ref[:, h : h + 1] = m_new
         l_ref[:, h : h + 1] = l_new
 
@@ -217,6 +235,25 @@ def _flash_kernel_fullc_stream(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref
             o_ref[0, :, lo : lo + hd] = (
                 acc_ref[:, lo : lo + hd] / l_ref[:, h : h + 1]
             ).astype(o_ref.dtype)
+
+
+def _augment_v(v: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """(B, S, heads*hd) -> (B, S, heads*(hd+1)) with an all-ones lane appended
+    to each head's slice, so the kernels' P.V matmul also emits rowsum(P) (the
+    softmax denominator) from the same MXU pass. hd+1 stays far under the
+    128-lane tile, so the extra lane is MXU-free."""
+    B, S, C = v.shape
+    hd = C // heads
+    vh = v.reshape(B, S, heads, hd)
+    ones = jnp.ones((B, S, heads, 1), v.dtype)
+    return jnp.concatenate([vh, ones], axis=-1).reshape(B, S, heads * (hd + 1))
+
+
+def _can_fuse_ones(C: int, heads: int) -> bool:
+    """Fuse rowsum(P) into P.V only when the +1 lane per head does not grow
+    V's padded lane footprint (hd=40: 320->328 both pad to 384 — free; hd=80:
+    640->648 pads to 768 and pushed the level-1 resident kernel over VMEM)."""
+    return -C % LANES >= heads
 
 
 def flash_attention_fullc(
@@ -232,10 +269,15 @@ def flash_attention_fullc(
     B, S, C = q.shape
     Skv = k.shape[1]
     assert S % q_block == 0 and Skv % k_block == 0
+    fuse_ones = _can_fuse_ones(C, heads)
+    if fuse_ones:
+        v = _augment_v(v, heads)
+    Cv = v.shape[-1]
 
-    if 2 * _lane_padded_bytes(Skv, C) <= FULLC_RESIDENT_BYTES:
+    if _lane_padded_bytes(Skv, C) + _lane_padded_bytes(Skv, Cv) <= FULLC_RESIDENT_BYTES:
         kernel = functools.partial(
-            _flash_kernel_fullc_resident, heads=heads, k_block=k_block, scale=scale)
+            _flash_kernel_fullc_resident, heads=heads, k_block=k_block, scale=scale,
+            fuse_ones=fuse_ones)
         return pl.pallas_call(
             kernel,
             grid=(B, S // q_block),
@@ -244,7 +286,7 @@ def flash_attention_fullc(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, Skv, C), lambda b, i: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Skv, C), lambda b, i: (b, 0, 0),
+                pl.BlockSpec((1, Skv, Cv), lambda b, i: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, q_block, C), lambda b, i: (b, i, 0),
@@ -261,7 +303,8 @@ def flash_attention_fullc(
             interpret=interpret,
         )(q, k, v)
 
-    kernel = functools.partial(_flash_kernel_fullc_stream, heads=heads, scale=scale)
+    kernel = functools.partial(
+        _flash_kernel_fullc_stream, heads=heads, scale=scale, fuse_ones=fuse_ones)
     return pl.pallas_call(
         kernel,
         grid=(B, S // q_block, Skv // k_block),
@@ -270,7 +313,7 @@ def flash_attention_fullc(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k_block, C), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_block, C), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((1, k_block, Cv), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, q_block, C), lambda b, i, j: (b, i, 0),

@@ -392,6 +392,33 @@ class VideoPipeline:
         # D2H), so shipping the 768^2 video as fp32 would dominate wall time.
         return jnp.round(imgs * 255.0).astype(jnp.uint8)
 
+    # ----------------------------------------------------------- decode->host
+    def decode_to_host(self, latents: jnp.ndarray) -> np.ndarray:
+        """Decode + fetch with transfer/compute overlap: chunks are dispatched
+        back-to-back (async JAX dispatch) and each chunk's D2H copy starts as
+        soon as it is computed, riding under the NEXT chunk's decode. The
+        serial decode-then-fetch path left the slow host link idle during the
+        whole decode (~1.2 s of a 28 s run). Only used for frame-independent
+        decoders; the temporal decoder's 16-frame chunk is its numerical unit
+        and decodes whole (`pipeline_mikudance.py:81,132-150`)."""
+        dec = self.bundle.vae_dec
+        if getattr(dec, "frames_coupled", False):
+            return np.asarray(self._decode_jit(self.bundle.vae_dec_params, latents))
+        chunk = min(getattr(dec, "decode_chunk", 4), latents.shape[0])
+        N = latents.shape[0]
+        parts = []
+        for i in range(0, N - (N % chunk), chunk):
+            img = self._decode_jit(
+                self.bundle.vae_dec_params, latents[i : i + chunk]
+            )
+            img.copy_to_host_async()
+            parts.append(img)
+        if N % chunk:
+            img = self._decode_jit(self.bundle.vae_dec_params, latents[N - N % chunk :])
+            img.copy_to_host_async()
+            parts.append(img)
+        return np.concatenate([np.asarray(p) for p in parts], axis=0)
+
     # ------------------------------------------------------------------- call
     def __call__(
         self,
@@ -406,6 +433,7 @@ class VideoPipeline:
         num_inference_steps: Optional[int] = None,
         guidance_scale: Optional[float] = None,
         decode: bool = True,
+        to_host: bool = False,
     ) -> jnp.ndarray:
         cfgc = self.config
         steps = num_inference_steps or cfgc.num_inference_steps
@@ -486,4 +514,6 @@ class VideoPipeline:
 
         if not decode:
             return latents
+        if to_host and mesh is None:
+            return self.decode_to_host(latents)
         return self._decode_jit(self.bundle.vae_dec_params, latents, mesh=mesh)

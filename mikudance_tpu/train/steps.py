@@ -61,9 +61,14 @@ def trainable_mask(params, substrings: Optional[Tuple[str, ...]]):
     return jax.tree_util.tree_map_with_path(mask_path, params)
 
 
-def make_optimizer(cfg: TrainConfig, params):
-    mask = trainable_mask(params, cfg.trainable_substrings)
-    tx = optax.chain(
+def make_optimizer(cfg: TrainConfig, params=None):
+    """Optimizer over the TRAINABLE partition only. Freezing is expressed by
+    never showing frozen params to the optimizer (make_train_step partitions
+    the tree), not by an optax mask: a multi_transform over the full tree made
+    the update pass touch every frozen SD weight (zero-grad materialization +
+    add-zero apply), which alone pushed the stage-2 step past a 16 GB chip."""
+    del params  # kept for signature stability
+    return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
             cfg.learning_rate,
@@ -73,8 +78,6 @@ def make_optimizer(cfg: TrainConfig, params):
             weight_decay=cfg.weight_decay,
         ),
     )
-    labels = jax.tree_util.tree_map(lambda m: "train" if m else "freeze", mask)
-    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
 
 
 @dataclasses.dataclass
@@ -92,13 +95,14 @@ def init_train_state(
     halves the HBM held by the ~1.7B frozen SD weights — stage-2 at 576^2/20f
     does not fit a 16 GB chip with everything in fp32)."""
     params = {"guide": guide_params["params"], "den": den_params["params"]}
+    mask = trainable_mask(params, cfg.trainable_substrings)
     if frozen_dtype is not None:
-        mask = trainable_mask(params, cfg.trainable_substrings)
         params = jax.tree_util.tree_map(
             lambda p, m: p if m else p.astype(frozen_dtype), params, mask
         )
-    tx = make_optimizer(cfg, params)
-    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+    tx = make_optimizer(cfg)
+    train_p, _ = _partition(params, mask)
+    return TrainState(params, tx.init(train_p), jnp.zeros((), jnp.int32)), tx
 
 
 def diffusion_loss(
@@ -194,10 +198,11 @@ def make_train_step(
 ):
     """Returns a jittable (state, batch, rng) -> (state, metrics) step.
 
-    Gradients are taken ONLY w.r.t. the trainable partition: differentiating
-    the full tree would materialize an fp32 cotangent for every frozen SD
-    weight (~8.7 GB at stage 2) that the masked optimizer then throws away —
-    partitioning keeps the step inside a 16 GB chip."""
+    Gradients are taken ONLY w.r.t. the trainable partition, and the optimizer
+    update runs ONLY over that partition: differentiating or updating the full
+    tree would materialize fp32 cotangents / zero-updates for every frozen SD
+    weight (~8.7 GB at stage 2) — partitioning keeps the step inside a 16 GB
+    chip and lets the frozen params alias straight through under donation."""
 
     def step(state: TrainState, batch, rng):
         mask = trainable_mask(state.params, cfg.trainable_substrings)
@@ -208,12 +213,8 @@ def make_train_step(
             return diffusion_loss(cfg, schedule, guide, den, params, batch, rng)
 
         (loss, metrics), tgrads = jax.value_and_grad(loss_fn, has_aux=True)(train_p)
-        # zeros for the frozen partition (their transform is set_to_zero)
-        grads = _combine(
-            tgrads, jax.tree_util.tree_map(jnp.zeros_like, frozen_p)
-        )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        updates, opt_state = tx.update(tgrads, state.opt_state, train_p)
+        params = _combine(optax.apply_updates(train_p, updates), frozen_p)
         new_state = TrainState(params, opt_state, state.step + 1)
         return new_state, metrics
 

@@ -78,6 +78,10 @@ def test_pipeline_runs_and_decodes(pipe):
     assert video.shape == (T, H, W, 3)
     v = np.asarray(video)
     assert v.dtype == np.uint8  # on-device uint8 conversion (slow host link)
+    # transfer-overlapped host decode path == device decode path, bit-exact
+    host = pipe(ref, skel, pose, face, hand, motion, ctx, noise, to_host=True)
+    assert isinstance(host, np.ndarray) and host.dtype == np.uint8
+    np.testing.assert_array_equal(host, v)
 
 
 def test_pipeline_matches_reference_style_loop(pipe):
