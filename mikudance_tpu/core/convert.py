@@ -577,3 +577,79 @@ def convert_clip_text_hf(src: Mapping, num_layers: int = 12) -> Dict:
     _convert_ln(src, f"{pre}final_layer_norm", out, ("ln_final",))
     _set(out, ("text_projection",), dense_kernel(src["text_projection.weight"]))
     return out
+
+
+def _convert_conv(src: Mapping, prefix: str, out: Dict, dst: Tuple[str, ...]):
+    _set(out, dst + ("kernel",), conv_kernel(src[f"{prefix}.weight"]))
+    if f"{prefix}.bias" in src:
+        _set(out, dst + ("bias",), _t(src[f"{prefix}.bias"]))
+
+
+def convert_dpt(src: Mapping, depths: Tuple[int, ...] = (3, 4, 9),
+                num_layers: int = 12) -> Dict:
+    """transformers DPTForDepthEstimation(is_hybrid=True) state dict
+    (Intel/dpt-hybrid-midas) -> toolbox.dpt.DPTHybridDepth param tree.
+
+    Layout notes: BiT weight-standardized convs keep raw kernels (the
+    standardization is applied at forward time on both sides); the ViT patch
+    projection and fusion projections stay 1x1 convs; the reassemble
+    projections become Dense. `dpt.layernorm` is skipped — the depth neck
+    consumes raw (pre-final-layernorm) encoder states, so those weights are
+    dead for depth estimation (modeling_dpt.DPTForDepthEstimation.forward).
+    """
+    out: Dict[str, Any] = {}
+    bit = "dpt.embeddings.backbone.bit"
+    _set(out, ("bit", "stem_conv", "kernel"),
+         conv_kernel(src[f"{bit}.embedder.convolution.weight"]))
+    _convert_ln(src, f"{bit}.embedder.norm", out, ("bit", "stem_norm"))
+    for s, depth in enumerate(depths):
+        for l in range(depth):
+            p = f"{bit}.encoder.stages.{s}.layers.{l}"
+            d = ("bit", f"stage{s}_layer{l}")
+            if f"{p}.downsample.conv.weight" in src:
+                _set(out, d + ("down_conv", "kernel"),
+                     conv_kernel(src[f"{p}.downsample.conv.weight"]))
+                _convert_ln(src, f"{p}.downsample.norm", out, d + ("down_norm",))
+            for n in (1, 2, 3):
+                _set(out, d + (f"conv{n}", "kernel"),
+                     conv_kernel(src[f"{p}.conv{n}.weight"]))
+                _convert_ln(src, f"{p}.norm{n}", out, d + (f"norm{n}",))
+
+    _convert_conv(src, "dpt.embeddings.projection", out, ("projection",))
+    _set(out, ("cls_token",), _t(src["dpt.embeddings.cls_token"]))
+    _set(out, ("pos_embed",), _t(src["dpt.embeddings.position_embeddings"]))
+    for i in range(num_layers):
+        p = f"dpt.encoder.layer.{i}"
+        d = (f"layer{i}",)
+        _convert_ln(src, f"{p}.layernorm_before", out, d + ("ln1",))
+        _convert_ln(src, f"{p}.layernorm_after", out, d + ("ln2",))
+        _convert_dense(src, f"{p}.attention.attention.query", out, d + ("q",))
+        _convert_dense(src, f"{p}.attention.attention.key", out, d + ("k",))
+        _convert_dense(src, f"{p}.attention.attention.value", out, d + ("v",))
+        _convert_dense(src, f"{p}.attention.output.dense", out, d + ("out",))
+        _convert_dense(src, f"{p}.intermediate.dense", out, d + ("fc1",))
+        _convert_dense(src, f"{p}.output.dense", out, d + ("fc2",))
+
+    for i in (2, 3):
+        _convert_dense(src, f"neck.reassemble_stage.readout_projects.{i}.0",
+                       out, (f"readout{i}",))
+        rp = f"neck.reassemble_stage.layers.{i}.projection"
+        _set(out, (f"reassemble{i}_proj", "kernel"), conv1x1_as_dense(src[f"{rp}.weight"]))
+        _set(out, (f"reassemble{i}_proj", "bias"), _t(src[f"{rp}.bias"]))
+    _convert_conv(src, "neck.reassemble_stage.layers.3.resize", out,
+                  ("reassemble3_resize",))
+    for i in range(4):
+        _set(out, (f"neck_conv{i}", "kernel"),
+             conv_kernel(src[f"neck.convs.{i}.weight"]))
+        p = f"neck.fusion_stage.layers.{i}"
+        _convert_conv(src, f"{p}.projection", out, (f"fusion{i}_proj",))
+        # fusion layer 0 (deepest) has no residual input; its residual_layer1
+        # exists in the torch checkpoint but is never called — skip it.
+        for r in ((2,) if i == 0 else (1, 2)):
+            for c in (1, 2):
+                _convert_conv(src, f"{p}.residual_layer{r}.convolution{c}", out,
+                              (f"fusion{i}_res{r}", f"conv{c}"))
+    _convert_conv(src, "head.head.0", out, ("head0",))
+    _convert_conv(src, "head.head.2", out, ("head2",))
+    _convert_conv(src, "head.head.4", out, ("head4",))
+    return out

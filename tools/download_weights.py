@@ -31,6 +31,10 @@ SPECS = {
                   ["config.json", "pytorch_model.bin", "vocab.json",
                    "merges.txt", "tokenizer_config.json",
                    "special_tokens_map.json"]),
+    # DPT-hybrid-MiDaS depth (tools/depth_from_image.py; Flax model in
+    # toolbox/dpt.py, reference depth tool uses the same checkpoint).
+    "dpt": ("Intel/dpt-hybrid-midas", "dpt-hybrid-midas",
+            ["config.json", "pytorch_model.bin", "preprocessor_config.json"]),
 }
 
 # The UniPose detector checkpoint is distributed via Google Drive, not HF
