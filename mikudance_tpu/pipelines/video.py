@@ -425,8 +425,8 @@ class VideoPipeline:
         ref_image: np.ndarray,  # (H, W, 3) in [-1, 1] float, or raw uint8
         ref_skel: np.ndarray,  # (H, W, 3) in [0, 1] float, or raw uint8
         pose_frames: np.ndarray,  # (T, H, W, 3) in [0, 1] float, or raw uint8
-        face_frames: np.ndarray,  # (T, H, W, 3) in [0, 1] float, or raw uint8
-        hand_frames: np.ndarray,  # (T, H, W, 3) in [0, 1] float, or raw uint8
+        face_frames: Optional[np.ndarray],  # as pose_frames, or None if absent
+        hand_frames: Optional[np.ndarray],  # as pose_frames, or None if absent
         scene_motion: np.ndarray,  # (T, h, w, 2) latent-res flow
         clip_context: np.ndarray,  # (1, S, 768) CLIP image tokens of ref image
         noise: np.ndarray,  # (T, h, w, 4) initial gaussian latents
@@ -453,20 +453,35 @@ class VideoPipeline:
         # measured faster than per-stream calls: the host link pays a high
         # per-transfer latency, so one big transfer beats four pipelined
         # ones). uint8 inputs ship raw and normalize on device
-        # (see to_unit_float).
-        all_frames = jnp.concatenate(
-            [
-                to_unit_float(ref_image, signed=True)[None],
-                to_unit_float(ref_skel, signed=False)[None],
-                to_unit_float(pose_frames, signed=False),
-                to_unit_float(face_frames, signed=False),
-                to_unit_float(hand_frames, signed=False),
-            ],
-            axis=0,
-        )
+        # (see to_unit_float). An ABSENT face/hand stream (None) is the
+        # reference's all-black fallback (`scripts/inference_video.py`
+        # black_frames): one black frame is encoded and its latent broadcast
+        # over T — identical numerics, no T-frame transfer/encode for a
+        # stream that carries no signal (the reference encodes every black
+        # frame, `pipeline_mikudance.py:505-549`).
+        H_img, W_img = pose_frames.shape[1:3]
+        black = np.zeros((1, H_img, W_img, 3), np.uint8)
+        parts = [
+            to_unit_float(ref_image, signed=True)[None],
+            to_unit_float(ref_skel, signed=False)[None],
+            to_unit_float(pose_frames, signed=False),
+            to_unit_float(black if face_frames is None else face_frames,
+                          signed=False),
+            to_unit_float(black if hand_frames is None else hand_frames,
+                          signed=False),
+        ]
+        all_frames = jnp.concatenate(parts, axis=0)
         lat = self._encode_jit(self.bundle.vae_enc_params, all_frames, mesh=mesh)
         ref_l, skel_l = lat[0:1], lat[1:2]
-        pose_l, face_l, hand_l = lat[2 : 2 + T], lat[2 + T : 2 + 2 * T], lat[2 + 2 * T :]
+        o = 2 + T
+        pose_l = lat[2:o]
+        n_face = parts[3].shape[0]
+        face_l = lat[o : o + n_face]
+        hand_l = lat[o + n_face :]
+        if n_face == 1:
+            face_l = jnp.broadcast_to(face_l, (T,) + face_l.shape[1:])
+        if hand_l.shape[0] == 1:
+            hand_l = jnp.broadcast_to(hand_l, (T,) + hand_l.shape[1:])
         cond20 = build_condition_stack(ref_l, skel_l, pose_l, face_l, hand_l)
 
         # 2. windows (static per T)

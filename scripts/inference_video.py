@@ -76,9 +76,11 @@ def main():
     T = len(pose_pils)
     print(f"Total frames: {T}")
 
+    # absent face/hand streams stay None: the pipeline encodes a single black
+    # frame and broadcasts its latent (== the reference's black-video fallback)
     face_path, hand_path = _opt(cfg, "tgt_face_path"), _opt(cfg, "tgt_hand_path")
-    face_pils = media.read_frames(face_path)[:T] if face_path else media.black_frames(T, height, width)
-    hand_pils = media.read_frames(hand_path)[:T] if hand_path else media.black_frames(T, height, width)
+    face_pils = media.read_frames(face_path)[:T] if face_path else None
+    hand_pils = media.read_frames(hand_path)[:T] if hand_path else None
 
     w2c_path, c2w_path = _opt(cfg, "tgt_w2c_path"), _opt(cfg, "tgt_c2w_path")
     if w2c_path and c2w_path:
@@ -99,8 +101,8 @@ def main():
     ref = media.to_u8_frame(ref_pil, height, width)
     skel = media.to_u8_frame(skel_pil, height, width)
     pose = media.frames_to_u8(pose_pils, height, width)
-    face = media.frames_to_u8(face_pils, height, width)
-    hand = media.frames_to_u8(hand_pils, height, width)
+    face = media.frames_to_u8(face_pils, height, width) if face_pils else None
+    hand = media.frames_to_u8(hand_pils, height, width) if hand_pils else None
 
     # ------------------------------------------------------------- models
     ref_path = _opt(cfg, "reference_unet_path")
@@ -152,7 +154,9 @@ def main():
     # `inference_video.py:70`).
     devices = jax.devices()
     pipe = VideoPipeline(bundle, pcfg, devices=devices if len(devices) > 1 else None)
-    video = np.asarray(pipe(ref, skel, pose, face, hand, motion, clip_ctx, noise))
+    video = np.asarray(
+        pipe(ref, skel, pose, face, hand, motion, clip_ctx, noise, to_host=True)
+    )
     video_f = video.astype(np.float32) / 255.0
 
     # ------------------------------------------------------------- save

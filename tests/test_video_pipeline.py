@@ -84,6 +84,20 @@ def test_pipeline_runs_and_decodes(pipe):
     np.testing.assert_array_equal(host, v)
 
 
+def test_absent_streams_equal_black_frames(pipe):
+    """face/hand=None (single black-frame encode, broadcast latent) is
+    bit-identical to explicitly passing T black frames."""
+    ref, skel, pose, _, _, motion, ctx, noise = _inputs(3)
+    zeros = np.zeros((T, H, W, 3), np.float32)
+    want = np.asarray(
+        pipe(ref, skel, pose, zeros, zeros, motion, ctx, noise, decode=False)
+    )
+    got = np.asarray(
+        pipe(ref, skel, pose, None, None, motion, ctx, noise, decode=False)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pipeline_matches_reference_style_loop(pipe):
     """Batched/scanned pipeline == naive per-window per-step loop."""
     ref, skel, pose, face, hand, motion, ctx, noise = _inputs(1)
