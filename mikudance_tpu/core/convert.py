@@ -381,9 +381,12 @@ def convert_temporal_decoder(src: Mapping, num_blocks: int = 4, layers_per_block
     _set(out, ("conv_norm_out", "bias"), _t(src["decoder.conv_norm_out.bias"]))
     _set(out, ("conv_out", "kernel"), conv_kernel(src["decoder.conv_out.weight"]))
     _set(out, ("conv_out", "bias"), _t(src["decoder.conv_out.bias"]))
+    # time_conv_out lives inside the decoder module in diffusers'
+    # AutoencoderKLTemporalDecoder; accept a pre-stripped dict too.
+    tk = "decoder.time_conv_out" if "decoder.time_conv_out.weight" in src else "time_conv_out"
     _set(out, ("time_conv_out", "conv", "kernel"),
-         conv_temporal_kernel(src["time_conv_out.weight"]))
-    _set(out, ("time_conv_out", "conv", "bias"), _t(src["time_conv_out.bias"]))
+         conv_temporal_kernel(src[f"{tk}.weight"]))
+    _set(out, ("time_conv_out", "conv", "bias"), _t(src[f"{tk}.bias"]))
     return out
 
 

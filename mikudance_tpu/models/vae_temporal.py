@@ -55,9 +55,14 @@ class TemporalResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = _FGN(self.norm_groups, 1e-6, act="silu", dtype=self.dtype, name="norm1")(x)
+        # torch applies GroupNorm to the (B, C, T, H, W) video tensor: the
+        # stats pool over frames too, unlike the per-frame spatial norms.
+        # Folding T into the row axis gives the same joint (T,H,W) pooling.
+        T, H, W, C = x.shape
+        joint = lambda m, v: m(v.reshape(1, T * H, W, C)).reshape(T, H, W, C)
+        h = joint(_FGN(self.norm_groups, 1e-6, act="silu", dtype=self.dtype, name="norm1"), x)
         h = TemporalConv(self.out_channels, self.dtype, name="conv1")(h)
-        h = _FGN(self.norm_groups, 1e-6, act="silu", dtype=self.dtype, name="norm2")(h)
+        h = joint(_FGN(self.norm_groups, 1e-6, act="silu", dtype=self.dtype, name="norm2"), h)
         h = TemporalConv(self.out_channels, self.dtype, name="conv2")(h)
         return x + h
 
