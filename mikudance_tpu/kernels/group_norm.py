@@ -1,9 +1,11 @@
 """Fused GroupNorm(+SiLU) for NHWC feature maps (Pallas TPU).
 
-Why: XLA's GroupNorm lowering inside the denoise scan runs the stat reduce at
-~10% HBM bandwidth (layout-constrained `convert_reduce` fusions, ~165 ms/step
-at 768^2 across the ~20 GroupNorms of the UNet). This kernel does the textbook
-two-pass at streaming bandwidth:
+History: in the round-1 program, XLA's GroupNorm lowering inside the denoise
+scan ran the stat reduce at ~10% HBM bandwidth (layout-constrained
+`convert_reduce` fusions, ~165 ms/step at 768^2) and this kernel was a large
+win. After the attention/layout work the balance flipped — see
+``fused_group_norm``'s dispatch note; the kernel stays available behind
+``PREFER_PALLAS``. It does the textbook two-pass at streaming bandwidth:
 
 1. stats kernel: per image accumulate per-CHANNEL sum/sum-of-squares in VMEM
    (one fp32 (8, C) accumulator revisited across row blocks — lane layout,
@@ -41,6 +43,11 @@ def group_norm_ref(x, scale, bias, groups: int, eps: float, act: Optional[str]):
     return y.astype(x.dtype)
 
 
+# See fused_group_norm's docstring: XLA's in-graph GroupNorm now measures
+# faster end-to-end than the Pallas kernel; flip to re-enable the kernel.
+PREFER_PALLAS = False
+
+
 def _stats_kernel(x_ref, o_ref):
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -70,10 +77,21 @@ def _row_block(H: int, W: int, C: int, budget: int = 1 << 20) -> int:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_group_norm(x, scale, bias, groups: int, eps: float,
                      act: Optional[str] = None, interpret: bool = False):
-    """GroupNorm over NHWC x with optional fused SiLU; Pallas on TPU."""
+    """GroupNorm over NHWC x with optional fused SiLU.
+
+    Dispatch: the XLA lowering by default. The Pallas two-pass kernel was
+    the round-1 win this module was built for, but after the rest of the
+    denoise loop tightened (lane-packed attention, anchored softmax) the
+    balance flipped: the custom-call boundary forces row-major layouts that
+    XLA pays for with transposes around the neighboring convs, and the
+    measured end-to-end numbers now favor plain XLA (20-step denoise scan
+    21.21 s vs 21.55 s; full headline bench 25.95 s vs 26.12 s). Set
+    ``PREFER_PALLAS = True`` (or pass ``interpret=True`` in tests) to run
+    the kernel."""
     from .flash_attention import FORCE_XLA
 
-    on_tpu = not FORCE_XLA and jax.default_backend() == "tpu"
+    on_tpu = (PREFER_PALLAS and not FORCE_XLA
+              and jax.default_backend() == "tpu")
     if (not (on_tpu or interpret) or x.ndim != 4 or x.shape[-1] % groups != 0):
         return group_norm_ref(x, scale, bias, groups, eps, act)
 

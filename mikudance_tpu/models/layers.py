@@ -104,9 +104,9 @@ def run_attention(q, k, v, heads):
 
 class FusedGroupNorm(nn.Module):
     """Drop-in for ``nn.GroupNorm`` (same param names/shapes) that runs the
-    two-pass Pallas kernel on TPU, with an optional fused SiLU. XLA's in-graph
-    GroupNorm reduces run at ~10% HBM bandwidth inside the denoise scan; the
-    kernel streams at 2 reads + 1 write (kernels/group_norm.py)."""
+    two-pass Pallas kernel when ``kernels.group_norm.PREFER_PALLAS`` is set
+    (currently off: XLA's lowering measures faster end-to-end in the tightened
+    denoise loop — see that module's dispatch note)."""
 
     num_groups: int
     epsilon: float = 1e-5
