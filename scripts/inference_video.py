@@ -169,9 +169,11 @@ def main():
         out_dir = Path(f"output/{date_str}/{time_str}--seed_{args.seed}-{width}x{height}")
         out = str(out_dir / f"{skel_name}_{ref_name}_{height}x{width}_{int(args.cfg)}_{time_str}.mp4")
 
-    ref_row = np.tile(((ref + 1) / 2)[None], (T, 1, 1, 1))
+    # frames travel uint8 end-to-end; the grid writer wants float [0, 1]
+    ref_row = np.tile((ref.astype(np.float32) / 255.0)[None], (T, 1, 1, 1))
     media.save_video_grid(
-        [ref_row, pose, video_f], out, fps=args.fps or src_fps
+        [ref_row, pose.astype(np.float32) / 255.0, video_f],
+        out, fps=args.fps or src_fps,
     )
     print(f"saved: {out}")
 
