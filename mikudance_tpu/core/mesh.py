@@ -58,6 +58,54 @@ WIN_AXIS = "win"  # CFG x sliding-window batch axis
 FRAME_AXIS = "frame"  # frames within a window (sequence parallelism)
 
 
+# ------------------------------------------------------------- training mesh
+
+def choose_train_mesh(
+    devices: Sequence[jax.Device], batch: int, frames: int
+) -> Optional[Mesh]:
+    """('data', 'frame') mesh for a training batch (B, T, ...).
+
+    Stage-2 trains bs-1 20-frame clips (`configs/train/train_stage2.yaml`);
+    one 576^2 20-frame sample does not fit a 16 GB chip even with remat, and
+    data parallelism cannot split a SINGLE sample — so the frame axis shards
+    too (sequence parallelism: every op in the step is frame-local except the
+    motion modules, which reshard via all_to_all exactly as at inference).
+    Prefer data shards (collective-free), then frame shards; axis sizes must
+    divide B / T. None when only one device would be used.
+    """
+    n = len(devices)
+    best = (1, 1)
+    for dd in range(1, n + 1):
+        if batch % dd:
+            continue
+        for df in range(1, n // dd + 1):
+            if frames % df:
+                continue
+            if (dd * df, dd) > (best[0] * best[1], best[0]):
+                best = (dd, df)
+    dd, df = best
+    if dd * df <= 1:
+        return None
+    arr = np.asarray(list(devices[: dd * df])).reshape(dd, df)
+    return Mesh(arr, (DATA_AXIS, FRAME_AXIS))
+
+
+def shard_train_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a training batch on a 1-D data mesh or a 2-D ('data','frame')
+    mesh: (B, T, ...) streams shard over both axes, per-sample arrays
+    (clip_ctx, uncond, ...) over 'data' only."""
+    if FRAME_AXIS not in mesh.axis_names:
+        return shard_batch(batch, mesh)
+    p_bt = NamedSharding(mesh, P(DATA_AXIS, FRAME_AXIS))
+    p_b = NamedSharding(mesh, P(DATA_AXIS))
+
+    def place(k, x):
+        frame_sharded = x.ndim >= 2 and k in ("latents", "cond20", "motion")
+        return jax.device_put(x, p_bt if frame_sharded else p_b)
+
+    return {k: place(k, v) for k, v in batch.items()}
+
+
 def choose_2d_mesh(
     devices: Sequence[jax.Device], batch: int, frames: int
 ) -> Optional[Mesh]:

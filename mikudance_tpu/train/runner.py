@@ -98,15 +98,30 @@ def train_loop(
     validation_steps: int = 3000,
     export_fn: Optional[Callable[[int, TrainState], None]] = None,
     save_model_steps: int = 3000,
+    batch_size: int = 0,
+    clip_frames: int = 1,
 ) -> TrainState:
-    mesh = mesh_lib.make_mesh()
+    # batch_size + clip_frames > 0 activate the ('data', 'frame') training
+    # mesh: frames of one clip shard too (sequence parallelism), which is what
+    # lets stage 2 train the reference's full 20-frame clips on a v5e-8 when
+    # one sample does not fit a chip. Plain 1-D data mesh otherwise.
+    mesh = None
+    if batch_size > 0:
+        mesh = mesh_lib.choose_train_mesh(jax.devices(), batch_size, clip_frames)
+    sp = mesh is not None and mesh.shape.get(mesh_lib.FRAME_AXIS, 1) > 1
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    if sp:
+        print(f"training mesh: {dict(mesh.shape)} (sequence-parallel frames)")
     state, tx = init_train_state(cfg, guide_params, den_params)
     mgr = ckpt_lib.make_manager(os.path.join(output_dir, "checkpoints"), keep=3)
     state, start_step = ckpt_lib.restore_state(mgr, state)
     if start_step:
         print(f"resumed from checkpoint step {start_step}")
 
-    step_fn = jax.jit(make_train_step(cfg, schedule, guide, den, tx))
+    step_fn = jax.jit(
+        make_train_step(cfg, schedule, guide, den, tx, mesh=mesh if sp else None)
+    )
     state = mesh_lib.replicate(state, mesh)
     logger = MetricsLogger(output_dir, run_name)
     host_rng = random.Random(seed)
@@ -127,7 +142,7 @@ def train_loop(
             if step >= max_steps:
                 break
             dev_batch = prepare_batch(batch, host_rng)
-            dev_batch = mesh_lib.shard_batch(dev_batch, mesh)
+            dev_batch = mesh_lib.shard_train_batch(dev_batch, mesh)
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, dev_batch, sub)
             step += 1

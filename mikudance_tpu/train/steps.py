@@ -21,12 +21,20 @@ Rebuilds the reference trainers' step semantics
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import PartitionSpec as P
 
+try:  # moved between jax versions
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..core import mesh as mesh_lib
 from ..diffusion.ddim import DDIMSchedule, min_snr_loss_weight
 from ..models.unet import DenoisingUNet, GuidanceUNet
 from ..pipelines.video import SD_LATENT_SCALE
@@ -105,6 +113,45 @@ def init_train_state(
     return TrainState(params, tx.init(train_p), jnp.zeros((), jnp.int32)), tx
 
 
+def _models_forward(
+    guide: GuidanceUNet,
+    den: DenoisingUNet,
+    params: Dict[str, Any],
+    noisy: jnp.ndarray,  # (B, T, h, w, 4)
+    t: jnp.ndarray,  # (B,)
+    ctx: jnp.ndarray,  # (B, S, 768)
+    cond20: jnp.ndarray,  # (B, T, h, w, 20)
+    motion: jnp.ndarray,  # (B, T, h, w, 2)
+    uncond: jnp.ndarray,  # (B,)
+) -> jnp.ndarray:
+    """Guidance banks + denoising prediction. Pure in (B, T) — safe to run
+    per shard under shard_map with B and T both sharded (the guidance UNet is
+    strictly per-frame; the denoising UNet's only cross-frame ops are the
+    motion modules, which reshard internally when frame_axis is set)."""
+    B, T = noisy.shape[:2]
+    cdtype = den.dtype
+    cond_f = cond20.reshape((B * T,) + cond20.shape[2:])
+    motion_f = motion.reshape((B * T,) + motion.shape[2:])
+    ctx_f = jnp.repeat(ctx, T, axis=0)
+    banks = guide.apply(
+        {"params": params["guide"]},
+        cond_f.astype(cdtype),
+        motion_f.astype(cdtype),
+        jnp.zeros((B * T,), jnp.int32),
+        ctx_f.astype(cdtype),
+    )
+    # uncond samples skip the reference forward == zero banks (Net.forward :67-91)
+    keep = jnp.repeat(1.0 - uncond, T, axis=0)[:, None, None].astype(cdtype)
+    banks = {k: v * keep for k, v in banks.items()}
+    return den.apply(
+        {"params": params["den"]},
+        noisy.astype(cdtype),
+        t,
+        ctx.astype(cdtype),
+        banks,
+    ).astype(jnp.float32)
+
+
 def diffusion_loss(
     cfg: TrainConfig,
     schedule: DDIMSchedule,
@@ -113,6 +160,7 @@ def diffusion_loss(
     params: Dict[str, Any],
     batch: Dict[str, jnp.ndarray],
     rng: jax.Array,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One loss evaluation.
 
@@ -122,6 +170,14 @@ def diffusion_loss(
       motion       (B, T, h, w, 2)  scene-motion map (zeros for stage 1)
       clip_ctx     (B, S, 768)      CLIP image tokens
       uncond       (B,)             1.0 where this sample drops conditioning
+
+    With a ('data', 'frame') ``mesh``, the model forwards run under
+    ``shard_map`` with batch AND frames sharded (sequence parallelism): one
+    576^2 20-frame stage-2 sample does not fit a 16 GB chip, and data
+    parallelism cannot split a single sample. The noise/target algebra and
+    the loss reduction stay outside as plain sharded jnp (elementwise /
+    reductions XLA partitions for free); results are numerically identical
+    to the unsharded step (tests/test_train_step_sp.py).
     """
     latents = batch["latents"].astype(jnp.float32)
     B, T = latents.shape[:2]
@@ -143,28 +199,22 @@ def diffusion_loss(
     uncond = batch["uncond"].astype(jnp.float32)  # (B,)
     ctx = batch["clip_ctx"] * (1.0 - uncond)[:, None, None]
 
-    cdtype = den.dtype
-    cond_f = batch["cond20"].reshape((B * T,) + batch["cond20"].shape[2:])
-    motion_f = batch["motion"].reshape((B * T,) + batch["motion"].shape[2:])
-    ctx_f = jnp.repeat(ctx, T, axis=0)
-    banks = guide.apply(
-        {"params": params["guide"]},
-        cond_f.astype(cdtype),
-        motion_f.astype(cdtype),
-        jnp.zeros((B * T,), jnp.int32),
-        ctx_f.astype(cdtype),
-    )
-    # uncond samples skip the reference forward == zero banks (Net.forward :67-91)
-    keep = jnp.repeat(1.0 - uncond, T, axis=0)[:, None, None].astype(cdtype)
-    banks = {k: v * keep for k, v in banks.items()}
-
-    pred = den.apply(
-        {"params": params["den"]},
-        noisy.astype(cdtype),
-        t,
-        ctx.astype(cdtype),
-        banks,
-    ).astype(jnp.float32)
+    if mesh is None or mesh_lib.FRAME_AXIS not in mesh.axis_names:
+        pred = _models_forward(
+            guide, den, params, noisy, t, ctx, batch["cond20"], batch["motion"], uncond
+        )
+    else:
+        df = mesh.shape[mesh_lib.FRAME_AXIS]
+        den_sp = den.clone(frame_axis=mesh_lib.FRAME_AXIS, frame_shards=df)
+        p_bt = P(mesh_lib.DATA_AXIS, mesh_lib.FRAME_AXIS)
+        p_b = P(mesh_lib.DATA_AXIS)
+        fwd = shard_map(
+            partial(_models_forward, guide, den_sp),
+            mesh=mesh,
+            in_specs=(P(), p_bt, p_b, p_b, p_bt, p_bt, p_b),
+            out_specs=p_bt,
+        )
+        pred = fwd(params, noisy, t, ctx, batch["cond20"], batch["motion"], uncond)
 
     se = (pred - target.astype(jnp.float32)) ** 2
     per_sample = se.reshape(B, -1).mean(axis=1)
@@ -195,6 +245,7 @@ def make_train_step(
     guide: GuidanceUNet,
     den: DenoisingUNet,
     tx,
+    mesh=None,
 ):
     """Returns a jittable (state, batch, rng) -> (state, metrics) step.
 
@@ -202,7 +253,12 @@ def make_train_step(
     update runs ONLY over that partition: differentiating or updating the full
     tree would materialize fp32 cotangents / zero-updates for every frozen SD
     weight (~8.7 GB at stage 2) — partitioning keeps the step inside a 16 GB
-    chip and lets the frozen params alias straight through under donation."""
+    chip and lets the frozen params alias straight through under donation.
+
+    ``mesh``: a ('data', 'frame') mesh (core.mesh.choose_train_mesh) runs the
+    model forwards frame-sharded (sequence parallelism); gradients flow
+    through the shard_map (the all_to_all reshard transposes to its inverse,
+    replicated params transpose to a psum) so the step is a drop-in."""
 
     def step(state: TrainState, batch, rng):
         mask = trainable_mask(state.params, cfg.trainable_substrings)
@@ -210,7 +266,9 @@ def make_train_step(
 
         def loss_fn(tp):
             params = _combine(tp, frozen_p)
-            return diffusion_loss(cfg, schedule, guide, den, params, batch, rng)
+            return diffusion_loss(
+                cfg, schedule, guide, den, params, batch, rng, mesh=mesh
+            )
 
         (loss, metrics), tgrads = jax.value_and_grad(loss_fn, has_aux=True)(train_p)
         updates, opt_state = tx.update(tgrads, state.opt_state, train_p)

@@ -247,6 +247,11 @@ def main():
         save_model_steps=int(cfg.get("save_model_step_interval", 3000)),
         validation_fn=validation_fn,
         validation_steps=int(cfg.get("validation_steps", cfg.get("val", {}).get("validation_steps", 3000))),
+        # multi-chip: shard the batch over 'data' AND each clip's frames over
+        # 'frame' (sequence parallelism) — the reference's full 20-frame clip
+        # does not fit one 16 GB chip, see core/mesh.py::choose_train_mesh
+        batch_size=bs,
+        clip_frames=T,
     )
 
 
