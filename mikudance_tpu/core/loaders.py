@@ -66,11 +66,17 @@ def load_guidance_params(
     rng: Optional[jax.Array] = None,
     latent_hw: int = 8,
     unet_config=None,
+    remat: bool = False,
 ):
     """GuidanceUNet params from the released reference_unet .pth (complete,
-    strict load in the reference) or random init."""
+    strict load in the reference) or random init.
+
+    ``remat``: per-block rematerialization for training (the reference's
+    ``enable_gradient_checkpointing``, `train_stage2.py:425-427`); required
+    to fit stage-2 backward passes in a 16 GB v5e chip (see bench_train.py).
+    """
     cfg = GuidanceUNetConfig(use_man=use_man, unet=unet_config or UNetConfig())
-    model = GuidanceUNet(cfg, dtype=dtype)
+    model = GuidanceUNet(cfg, dtype=dtype, remat=remat)
     if reference_unet_path and os.path.exists(reference_unet_path):
         sd = load_torch_state_dict(reference_unet_path)
         params = cv.convert_unet(sd, with_man=use_man, with_conv_out=False)
@@ -93,6 +99,7 @@ def load_denoising_params(
     rng: Optional[jax.Array] = None,
     latent_hw: int = 8,
     unet_config=None,
+    remat: bool = False,
 ):
     cfg = DenoisingUNetConfig(
         unet=unet_config or UNetConfig(),
@@ -101,7 +108,7 @@ def load_denoising_params(
             num_attention_heads=(unet_config or UNetConfig()).attention_heads,
         ),
     )
-    model = DenoisingUNet(cfg, dtype=dtype)
+    model = DenoisingUNet(cfg, dtype=dtype, remat=remat)
     have_main = denoising_unet_path and os.path.exists(denoising_unet_path)
     if have_main:
         sd: Dict[str, Any] = {}

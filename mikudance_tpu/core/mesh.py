@@ -9,7 +9,7 @@ sliding windows of a video shard over the same axis at inference.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -52,13 +52,37 @@ def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-# ------------------------------------------------------------ inference mesh
+# ------------------------------------------------------- 2-D mesh factorization
 
 WIN_AXIS = "win"  # CFG x sliding-window batch axis
 FRAME_AXIS = "frame"  # frames within a window (sequence parallelism)
 
 
-# ------------------------------------------------------------- training mesh
+def _choose_2d_mesh(
+    devices: Sequence[jax.Device],
+    sizes: Tuple[int, int],
+    axis_names: Tuple[str, str],
+) -> Optional[Mesh]:
+    """Largest (d0 * d1) <= len(devices) with d0 | sizes[0] and d1 | sizes[1],
+    tie-broken toward more shards on axis 0 (the collective-free axis in both
+    callers). Uses a device subset when n has no full factorization. None when
+    only one device would be used."""
+    n = len(devices)
+    best = (1, 1)
+    for d0 in range(1, n + 1):
+        if sizes[0] % d0:
+            continue
+        for d1 in range(1, n // d0 + 1):
+            if sizes[1] % d1:
+                continue
+            if (d0 * d1, d0) > (best[0] * best[1], best[0]):
+                best = (d0, d1)
+    d0, d1 = best
+    if d0 * d1 <= 1:
+        return None
+    arr = np.asarray(list(devices[: d0 * d1])).reshape(d0, d1)
+    return Mesh(arr, axis_names)
+
 
 def choose_train_mesh(
     devices: Sequence[jax.Device], batch: int, frames: int
@@ -73,21 +97,7 @@ def choose_train_mesh(
     Prefer data shards (collective-free), then frame shards; axis sizes must
     divide B / T. None when only one device would be used.
     """
-    n = len(devices)
-    best = (1, 1)
-    for dd in range(1, n + 1):
-        if batch % dd:
-            continue
-        for df in range(1, n // dd + 1):
-            if frames % df:
-                continue
-            if (dd * df, dd) > (best[0] * best[1], best[0]):
-                best = (dd, df)
-    dd, df = best
-    if dd * df <= 1:
-        return None
-    arr = np.asarray(list(devices[: dd * df])).reshape(dd, df)
-    return Mesh(arr, (DATA_AXIS, FRAME_AXIS))
+    return _choose_2d_mesh(devices, (batch, frames), (DATA_AXIS, FRAME_AXIS))
 
 
 def shard_train_batch(batch: dict, mesh: Mesh) -> dict:
@@ -112,24 +122,7 @@ def choose_2d_mesh(
     """('win', 'frame') mesh for the inference UNet batch (2*nw, wf, ...).
 
     The window/CFG axis is embarrassingly parallel (no collectives); the frame
-    axis costs one all_to_all pair per motion module — so prefer the largest
-    (d_win * d_frame) <= n with d_win | batch and d_frame | frames, breaking
-    ties toward more window shards. Uses a device subset when n has no full
-    factorization (e.g. 30-frame windows on 8 chips -> 6 devices). Returns
-    None when only 1 device would be used.
+    axis costs one all_to_all pair per motion module — so prefer window
+    shards, then frame shards (e.g. 30-frame windows on 8 chips -> 6 devices).
     """
-    n = len(devices)
-    best = (1, 1)
-    for dw in range(1, n + 1):
-        if batch % dw:
-            continue
-        for df in range(1, n // dw + 1):
-            if frames % df:
-                continue
-            if (dw * df, dw) > (best[0] * best[1], best[0]):
-                best = (dw, df)
-    dw, df = best
-    if dw * df <= 1:
-        return None
-    arr = np.asarray(list(devices[: dw * df])).reshape(dw, df)
-    return Mesh(arr, (WIN_AXIS, FRAME_AXIS))
+    return _choose_2d_mesh(devices, (batch, frames), (WIN_AXIS, FRAME_AXIS))

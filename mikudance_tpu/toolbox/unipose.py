@@ -160,10 +160,15 @@ class MultiheadAttention(nn.Module):
         logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
                             preferred_element_type=jnp.float32) / math.sqrt(hd)
         if attn_mask is not None:
-            # (Q, S) or (B, Q, S) or (B, heads, Q, S) boolean, True = blocked
+            # (Q, S) or (B, Q, S) or (B, heads, Q, S) boolean, True = blocked.
+            # A 3-D mask is per-SAMPLE: its batch dim must land on logits'
+            # batch axis, with the heads axis broadcast — not be promoted
+            # into the heads slot.
             m = attn_mask
-            while m.ndim < 4:
-                m = m[None]
+            if m.ndim == 2:
+                m = m[None, None]  # (1, 1, Q, S)
+            elif m.ndim == 3:
+                m = m[:, None]  # (B, 1, Q, S)
             logits = jnp.where(m, NEG_INF, logits)
         if key_padding_mask is not None:
             logits = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, logits)

@@ -100,6 +100,7 @@ def train_loop(
     save_model_steps: int = 3000,
     batch_size: int = 0,
     clip_frames: int = 1,
+    frozen_dtype=None,
 ) -> TrainState:
     # batch_size + clip_frames > 0 activate the ('data', 'frame') training
     # mesh: frames of one clip shard too (sequence parallelism), which is what
@@ -113,14 +114,19 @@ def train_loop(
         mesh = mesh_lib.make_mesh()
     if sp:
         print(f"training mesh: {dict(mesh.shape)} (sequence-parallel frames)")
-    state, tx = init_train_state(cfg, guide_params, den_params)
+    # frozen_dtype (e.g. bf16 at stage 2) stores the non-trainable partition
+    # compactly; donation lets XLA update the state in place instead of
+    # double-buffering ~9 GB of params + moments (see bench_train.py, which
+    # measured both as required to fit a 16 GB chip).
+    state, tx = init_train_state(cfg, guide_params, den_params, frozen_dtype=frozen_dtype)
     mgr = ckpt_lib.make_manager(os.path.join(output_dir, "checkpoints"), keep=3)
     state, start_step = ckpt_lib.restore_state(mgr, state)
     if start_step:
         print(f"resumed from checkpoint step {start_step}")
 
     step_fn = jax.jit(
-        make_train_step(cfg, schedule, guide, den, tx, mesh=mesh if sp else None)
+        make_train_step(cfg, schedule, guide, den, tx, mesh=mesh if sp else None),
+        donate_argnums=0,
     )
     state = mesh_lib.replicate(state, mesh)
     logger = MetricsLogger(output_dir, run_name)
@@ -137,10 +143,12 @@ def train_loop(
     while step < max_steps:
         epoch_iter = iter(batches() if callable(batches) else batches)
         saw_batch = False
-        for batch in epoch_iter:
-            saw_batch = True
-            if step >= max_steps:
+        while step < max_steps:
+            try:  # budget checked BEFORE the fetch: don't load a batch just to drop it
+                batch = next(epoch_iter)
+            except StopIteration:
                 break
+            saw_batch = True
             dev_batch = prepare_batch(batch, host_rng)
             dev_batch = mesh_lib.shard_train_batch(dev_batch, mesh)
             key, sub = jax.random.split(key)

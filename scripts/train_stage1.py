@@ -75,11 +75,14 @@ def main():
 
     # stage 1: reference UNet without MAN (MIX_CHAR, `unet_2d_mix_char.py`),
     # denoising UNet without motion modules (`train_stage1.py:279-283`)
+    remat = bool(solver.get("gradient_checkpointing", False))
     guide, gp = loaders.load_guidance_params(
-        cfg.get("pretrained_reference_unet"), use_man=False, dtype=dtype, latent_hw=h, unet_config=unet_cfg
+        cfg.get("pretrained_reference_unet"), use_man=False, dtype=dtype, latent_hw=h,
+        unet_config=unet_cfg, remat=remat,
     )
     den, dp = loaders.load_denoising_params(
-        cfg.get("pretrained_denoising_unet"), use_motion=False, dtype=dtype, latent_hw=h, unet_config=unet_cfg
+        cfg.get("pretrained_denoising_unet"), use_motion=False, dtype=dtype, latent_hw=h,
+        unet_config=unet_cfg, remat=remat,
     )
     vae_enc, vep, vae_dec, vdp = loaders.load_vae_params(cfg.get("vae_model_path"), dtype=dtype, hw=size)
     clip, cp = loaders.load_clip_params(cfg.get("image_encoder_path"), dtype=dtype)

@@ -80,13 +80,18 @@ def main():
         )
 
     # stage 2: MIX guidance UNet (MAN on) from stage-1 ckpt; 3D denoising UNet
-    # with motion modules merged from mm_path (`train_stage2.py:352-377`)
+    # with motion modules merged from mm_path (`train_stage2.py:352-377`).
+    # remat defaults ON here (unlike the reference's 40 GB GPUs,
+    # `train_stage2.py:425-427` gates it off): the v5e backward at 576^2
+    # does not fit 16 GB without it (bench_train.py's memory_analysis).
+    remat = bool(solver.get("gradient_checkpointing", True))
     guide, gp = loaders.load_guidance_params(
-        cfg.get("stage1_reference_unet"), use_man=True, dtype=dtype, latent_hw=h, unet_config=unet_cfg
+        cfg.get("stage1_reference_unet"), use_man=True, dtype=dtype, latent_hw=h,
+        unet_config=unet_cfg, remat=remat,
     )
     den, dp = loaders.load_denoising_params(
         cfg.get("stage1_denoising_unet"), cfg.get("mm_path"),
-        use_motion=True, dtype=dtype, latent_hw=h, unet_config=unet_cfg,
+        use_motion=True, dtype=dtype, latent_hw=h, unet_config=unet_cfg, remat=remat,
     )
     vae_enc, vep, vae_dec, vdp = loaders.load_vae_params(cfg.get("vae_model_path"), dtype=dtype, hw=size)
     clip, cp = loaders.load_clip_params(cfg.get("image_encoder_path"), dtype=dtype)
@@ -252,6 +257,10 @@ def main():
         # does not fit one 16 GB chip, see core/mesh.py::choose_train_mesh
         batch_size=bs,
         clip_frames=T,
+        # frozen SD weights (everything but motion/MAN) stored in bf16: their
+        # optimizer state doesn't exist and fp32 master copies are only needed
+        # for TRAINED params (see train/steps.py::init_train_state)
+        frozen_dtype=dtype,
     )
 
 
