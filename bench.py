@@ -110,5 +110,41 @@ def main():
     )
 
 
+def _require_device(timeout_s: float = 300.0):
+    """Fail fast (and loudly) when the TPU tunnel is hung.
+
+    The axon pool occasionally goes down; ``jax.devices()`` then blocks
+    FOREVER inside PJRT client init (observed 2026-08-17: hours). A hung
+    bench is the worst outcome for the driver — burn the whole budget,
+    report nothing — so probe the backend on a side thread and exit with a
+    diagnostic if it doesn't come up in ``timeout_s``.
+    """
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        try:
+            jax.devices()
+        finally:
+            done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(
+            json.dumps(
+                {
+                    "metric": "sec per 16-frame 768^2 clip, 20 DDIM steps, full pipeline (1x v5e)",
+                    "error": f"TPU backend init did not complete in {timeout_s:.0f}s "
+                    "(axon tunnel down?) — no measurement taken",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+
 if __name__ == "__main__":
+    _require_device()
     main()
