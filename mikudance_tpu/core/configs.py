@@ -147,6 +147,17 @@ class PipelineConfig:
     # factor=1 is the no-op (the reference's effective default).
     interpolation_factor: int = 1
     interpolation_mode: str = "slerp"
+    # Reference-attention bank residency for long videos. "cached" computes
+    # every (window, position) bank ONCE and keeps all of them in HBM for the
+    # whole denoise scan (fastest; ~52 MB/position at 768^2 bf16 incl. the
+    # CFG zero half — a 300-frame video would need ~44 GB). "per_step"
+    # recomputes banks inside the scan in window groups, keeping only one
+    # group's banks live (the reference's own memory behavior,
+    # `pipeline_mikudance.py:647-653`, which recomputes per window x step).
+    # "auto" picks cached while nw*wf <= cached_bank_positions (scaled by the
+    # mesh size when sharded), else per_step.
+    bank_mode: str = "auto"  # "auto" | "cached" | "per_step"
+    cached_bank_positions: int = 64
 
 
 SD15_UNET = UNetConfig()

@@ -198,6 +198,16 @@ def build_condition_stack(
     return jnp.concatenate([ref, skel, pose_latents, face_latents, hand_latents], axis=-1)
 
 
+def choose_bank_group(num_windows: int, window_len: int, budget_positions: int) -> int:
+    """Largest divisor g of num_windows with g*window_len <= budget (min 1):
+    the window-group size for per-step bank recomputation."""
+    best = 1
+    for g in range(1, num_windows + 1):
+        if num_windows % g == 0 and g * window_len <= budget_positions:
+            best = g
+    return best
+
+
 def guidance_context_for_windows(
     windows: np.ndarray,  # (nw, wf)
     ctx_cond: jnp.ndarray,  # (1, S, 768)
@@ -248,6 +258,10 @@ class VideoPipeline:
         # into the jaxpr as compile-time constants and stall XLA.
         self._denoise_jit = jax.jit(
             self._denoise, static_argnames=("num_windows", "window_len", "mesh")
+        )
+        self._denoise_streamed_jit = jax.jit(
+            self._denoise_streamed,
+            static_argnames=("num_windows", "window_len", "group"),
         )
         self._encode_jit = jax.jit(
             partial(encode_frames, self.bundle.vae_enc), static_argnames=("chunk", "mesh")
@@ -382,6 +396,106 @@ class VideoPipeline:
         latents, _ = jax.lax.scan(step_fn, noise.astype(jnp.float32), (ts, prev_ts))
         return latents
 
+    # ------------------------------------------------------ denoise (streamed)
+    def _denoise_streamed(
+        self,
+        guide_params,
+        den_params,
+        noise: jnp.ndarray,  # (T, h, w, 4)
+        cond20: jnp.ndarray,  # (T, h, w, 20)
+        motion: jnp.ndarray,  # (T, h, w, 2)
+        ctx_cond: jnp.ndarray,  # (1, S, 768)
+        g_ctx: jnp.ndarray,  # (nw*wf, S, 768) guidance CLIP ctx per position
+        windows: jnp.ndarray,  # (nw, wf) int32
+        counts: jnp.ndarray,  # (T,) float32
+        ts: jnp.ndarray,
+        prev_ts: jnp.ndarray,
+        guidance_scale: jnp.ndarray,
+        *,
+        num_windows: int,
+        window_len: int,
+        group: int,
+    ) -> jnp.ndarray:
+        """Long-video denoise: banks recomputed per step in window groups.
+
+        The cached path materializes every (window, position) bank for the
+        whole scan — ~52 MB/position at 768^2 bf16 with the CFG zero half, so
+        a 300-frame video (~420 positions) needs ~44 GB and cannot fit one
+        chip. Here only ONE group's banks are ever live: an inner scan over
+        window groups recomputes them each step — the reference's own memory
+        behavior (`pipeline_mikudance.py:647-653` recomputes banks per
+        window x step; this costs the same extra guidance-UNet work the
+        reference always pays, and only kicks in past the cached-mode budget).
+        """
+        nw, wf = num_windows, window_len
+        T = noise.shape[0]
+        cdtype = self.bundle.den.dtype
+        gdtype = self.bundle.guide.dtype
+        ngroups = nw // group
+        win_g = jnp.asarray(windows).reshape(ngroups, group, wf)
+        gctx_g = g_ctx.reshape((ngroups, group * wf) + g_ctx.shape[1:])
+
+        ctx_u = jnp.zeros_like(ctx_cond)
+        ctx2 = jnp.concatenate(
+            [
+                jnp.broadcast_to(ctx_u, (group,) + ctx_cond.shape[1:]),
+                jnp.broadcast_to(ctx_cond, (group,) + ctx_cond.shape[1:]),
+            ],
+            axis=0,
+        ).astype(cdtype)
+        do_cfg = guidance_scale
+
+        def step_fn(latents, t_pair):
+            t, t_prev = t_pair
+            # Tie the condition stack to the scan carry: the bank computation
+            # is loop-invariant, and XLA's while-loop invariant code motion
+            # would otherwise hoist it out of the scan and materialize ALL
+            # banks again — exactly what this path exists to avoid.
+            cond_tied, motion_tied, lat = jax.lax.optimization_barrier(
+                (cond20, motion, latents)
+            )
+
+            def group_fn(carry, ginp):
+                sum_u, sum_c = carry
+                w_g, gctx = ginp  # (group, wf), (group*wf, S, 768)
+                flat = w_g.reshape(-1)
+                t0 = jnp.zeros((group * wf,), jnp.int32)
+                banks = self.bundle.guide.apply(
+                    guide_params,
+                    cond_tied[flat].astype(gdtype),
+                    motion_tied[flat].astype(gdtype),
+                    t0,
+                    gctx.astype(gdtype),
+                )
+                banks2 = {
+                    k: jnp.concatenate([jnp.zeros_like(v), v], axis=0)
+                    for k, v in banks.items()
+                }
+                win = lat[w_g]  # (group, wf, h, w, 4)
+                batch = jnp.concatenate([win, win], axis=0).astype(cdtype)
+                t_b = jnp.full((2 * group,), t, jnp.int32)
+                pred = self.bundle.den.apply(
+                    den_params, batch, t_b, ctx2, banks2
+                ).astype(jnp.float32)
+                pu, pc = pred[:group], pred[group:]
+                sum_u = sum_u + jax.ops.segment_sum(
+                    pu.reshape((group * wf,) + pu.shape[2:]), flat, num_segments=T
+                )
+                sum_c = sum_c + jax.ops.segment_sum(
+                    pc.reshape((group * wf,) + pc.shape[2:]), flat, num_segments=T
+                )
+                return (sum_u, sum_c), None
+
+            zero = jnp.zeros_like(lat)
+            (sum_u, sum_c), _ = jax.lax.scan(group_fn, (zero, zero), (win_g, gctx_g))
+            inv = (1.0 / counts.astype(jnp.float32))[:, None, None, None]
+            mean_u, mean_c = sum_u * inv, sum_c * inv
+            noise_pred = mean_u + do_cfg * (mean_c - mean_u)
+            return self.schedule.step(noise_pred, t, t_prev, lat), None
+
+        latents, _ = jax.lax.scan(step_fn, noise.astype(jnp.float32), (ts, prev_ts))
+        return latents
+
     # ----------------------------------------------------------------- decode
     def _decode(
         self, dec_params, latents: jnp.ndarray, mesh: Optional[Mesh] = None
@@ -492,35 +606,67 @@ class VideoPipeline:
         nw, wf = windows.shape
         flat = windows.reshape(-1)
 
-        # 3. banks once per (window, position)
+        # 3. bank residency: cache all (window, position) banks when they fit
+        # (fastest — computed once, reused across steps), else stream them
+        # per step in window groups (long videos; see _denoise_streamed).
+        # A mesh shards the cached banks over its devices, scaling the budget.
         ctx_cond = jnp.asarray(clip_context)
         g_ctx = guidance_context_for_windows(
             windows, ctx_cond, jnp.zeros_like(ctx_cond), cfgc.guidance_clip_mode
         ).astype(self.bundle.guide.dtype)
-        banks = self._banks_jit(
-            self.bundle.guide_params,
-            cond20[flat].astype(self.bundle.guide.dtype),
-            jnp.asarray(scene_motion)[flat].astype(self.bundle.guide.dtype),
-            g_ctx,
-            mesh=mesh,
+        budget = cfgc.cached_bank_positions * (mesh.devices.size if mesh else 1)
+        per_step = cfgc.bank_mode == "per_step" or (
+            cfgc.bank_mode == "auto" and nw * wf > budget
         )
+        if per_step and mesh is not None:
+            # SPMD streaming not implemented: the sharded cached budget is
+            # n_devices x larger, which covers every geometry the single-chip
+            # streamer is needed for today.
+            per_step = False
 
-        # 4. scan over DDIM steps
         ts, prev_ts = inference_step_pairs(self.schedule, steps)
-        latents = self._denoise_jit(
-            self.bundle.den_params,
-            jnp.asarray(noise),
-            banks,
-            ctx_cond,
-            jnp.asarray(windows),
-            counts,
-            jnp.asarray(ts),
-            jnp.asarray(prev_ts),
-            jnp.float32(scale),
-            num_windows=nw,
-            window_len=wf,
-            mesh=mesh,
-        )
+        if per_step:
+            group = choose_bank_group(nw, wf, cfgc.cached_bank_positions)
+            latents = self._denoise_streamed_jit(
+                self.bundle.guide_params,
+                self.bundle.den_params,
+                jnp.asarray(noise),
+                cond20,
+                jnp.asarray(scene_motion),
+                ctx_cond,
+                g_ctx,
+                jnp.asarray(windows),
+                counts,
+                jnp.asarray(ts),
+                jnp.asarray(prev_ts),
+                jnp.float32(scale),
+                num_windows=nw,
+                window_len=wf,
+                group=group,
+            )
+        else:
+            banks = self._banks_jit(
+                self.bundle.guide_params,
+                cond20[flat].astype(self.bundle.guide.dtype),
+                jnp.asarray(scene_motion)[flat].astype(self.bundle.guide.dtype),
+                g_ctx,
+                mesh=mesh,
+            )
+            # 4. scan over DDIM steps
+            latents = self._denoise_jit(
+                self.bundle.den_params,
+                jnp.asarray(noise),
+                banks,
+                ctx_cond,
+                jnp.asarray(windows),
+                counts,
+                jnp.asarray(ts),
+                jnp.asarray(prev_ts),
+                jnp.float32(scale),
+                num_windows=nw,
+                window_len=wf,
+                mesh=mesh,
+            )
         # 5. optional latent frame-rate upsampling (`pipeline_mikudance.py:688`)
         if cfgc.interpolation_factor > 1:
             latents = self._interp_jit(

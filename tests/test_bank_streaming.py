@@ -1,0 +1,116 @@
+"""Per-step (streamed) bank mode == cached bank mode, numerically.
+
+The cached path materializes every (window, position) reference-attention
+bank for the whole denoise scan; long videos cannot fit that in one chip's
+HBM (~52 MB/position at 768^2), so `_denoise_streamed` recomputes banks per
+step in window groups — the reference's own memory behavior
+(`pipeline_mikudance.py:647-653`). Banks are step-independent, so the two
+modes must agree to reduction-order noise.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mikudance_tpu.core.configs import (
+    ContextConfig,
+    DenoisingUNetConfig,
+    GuidanceUNetConfig,
+    MotionModuleConfig,
+    PipelineConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from mikudance_tpu.models.unet import DenoisingUNet, GuidanceUNet
+from mikudance_tpu.models.vae import Decoder, Encoder
+from mikudance_tpu.pipelines.video import (
+    ModelBundle,
+    VideoPipeline,
+    choose_bank_group,
+)
+
+TINY = UNetConfig(block_out_channels=(32, 64, 96, 96), attention_heads=4)
+TINY_VAE = VAEConfig(block_out_channels=(16, 32, 32, 32), norm_num_groups=8)
+T, H, W = 6, 64, 64
+h, w = H // 8, W // 8
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    guide = GuidanceUNet(GuidanceUNetConfig(unet=TINY, use_man=True))
+    den = DenoisingUNet(
+        DenoisingUNetConfig(unet=TINY, motion=MotionModuleConfig(num_attention_heads=4))
+    )
+    enc, dec = Encoder(TINY_VAE), Decoder(TINY_VAE)
+    rng = jax.random.PRNGKey(0)
+    gp = jax.jit(guide.init)(
+        rng, jnp.zeros((1, h, w, 20)), jnp.zeros((1, h, w, 2)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 5, 768)),
+    )
+    dp = jax.jit(den.init)(
+        rng, jnp.zeros((1, 1, h, w, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 5, 768)),
+    )
+    ep = jax.jit(enc.init)(rng, jnp.zeros((1, H, W, 3)))
+    dcp = jax.jit(dec.init)(rng, jnp.zeros((1, h, w, 4)))
+    return ModelBundle(guide, gp, den, dp, enc, ep, dec, dcp)
+
+
+def _inputs():
+    rng = np.random.default_rng(5)
+    return (
+        rng.uniform(-1, 1, (H, W, 3)).astype(np.float32),
+        rng.uniform(0, 1, (H, W, 3)).astype(np.float32),
+        rng.uniform(0, 1, (T, H, W, 3)).astype(np.float32),
+        rng.uniform(0, 1, (T, H, W, 3)).astype(np.float32),
+        rng.uniform(0, 1, (T, H, W, 3)).astype(np.float32),
+        rng.normal(0, 0.3, (T, h, w, 2)).astype(np.float32),
+        rng.normal(0, 1, (1, 5, 768)).astype(np.float32),
+        rng.normal(0, 1, (T, h, w, 4)).astype(np.float32),
+    )
+
+
+@pytest.mark.parametrize("mode", ["reference_inference", "cond"])
+def test_streamed_equals_cached(bundle, mode):
+    base = PipelineConfig(
+        width=W, height=H, num_inference_steps=2, guidance_scale=3.5,
+        context=ContextConfig(frames=3, overlap=1), guidance_clip_mode=mode,
+    )
+    inputs = _inputs()
+    cached = np.asarray(
+        VideoPipeline(bundle, dataclasses.replace(base, bank_mode="cached"))(
+            *inputs, decode=False
+        )
+    )
+    # budget of 3 positions with 3-frame windows forces group=1: banks for a
+    # single window at a time, the maximally-streamed schedule
+    streamed = np.asarray(
+        VideoPipeline(
+            bundle,
+            dataclasses.replace(base, bank_mode="per_step", cached_bank_positions=3),
+        )(*inputs, decode=False)
+    )
+    np.testing.assert_allclose(streamed, cached, atol=2e-5, rtol=1e-5)
+
+
+def test_auto_mode_picks_streaming_past_budget(bundle):
+    cfg = PipelineConfig(
+        width=W, height=H, num_inference_steps=2,
+        context=ContextConfig(frames=3, overlap=1), guidance_clip_mode="cond",
+        bank_mode="auto", cached_bank_positions=3,  # nw*wf will exceed 3
+    )
+    pipe = VideoPipeline(bundle, cfg)
+    out = pipe(*_inputs(), decode=False)  # exercises the streamed path
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_choose_bank_group():
+    assert choose_bank_group(6, 3, budget_positions=3) == 1
+    assert choose_bank_group(6, 3, budget_positions=6) == 2
+    assert choose_bank_group(6, 3, budget_positions=9) == 3
+    assert choose_bank_group(6, 3, budget_positions=64) == 6
+    assert choose_bank_group(7, 30, budget_positions=64) == 1  # prime nw
+    assert choose_bank_group(1, 30, budget_positions=1) == 1
