@@ -101,6 +101,7 @@ def train_loop(
     batch_size: int = 0,
     clip_frames: int = 1,
     frozen_dtype=None,
+    zero_shard: bool = False,
 ) -> TrainState:
     # batch_size + clip_frames > 0 activate the ('data', 'frame') training
     # mesh: frames of one clip shard too (sequence parallelism), which is what
@@ -128,7 +129,14 @@ def train_loop(
         make_train_step(cfg, schedule, guide, den, tx, mesh=mesh if sp else None),
         donate_argnums=0,
     )
-    state = mesh_lib.replicate(state, mesh)
+    # zero_shard: params + optimizer state shard over the data axis instead
+    # of replicating (ZeRO/FSDP-style; core/mesh.py::zero_shard_state). Stage
+    # 1 trains ~1.7B params — replicated fp32 state is ~27 GB/chip, over a
+    # 16 GB v5e; sharded over a v5e-8 it is ~3.4 GB/chip.
+    if zero_shard and not sp:
+        state = mesh_lib.zero_shard_state(state, mesh)
+    else:
+        state = mesh_lib.replicate(state, mesh)
     logger = MetricsLogger(output_dir, run_name)
     host_rng = random.Random(seed)
     key = jax.random.PRNGKey(seed)
