@@ -54,6 +54,11 @@ class TrainConfig:
     prediction_type: str = "v_prediction"
     # stage 2 trains only these param-path substrings; stage 1 trains all.
     trainable_substrings: Optional[Tuple[str, ...]] = None  # e.g. ("motion", "man_")
+    # LR schedule, diffusers get_scheduler semantics (`train_stage1.py:378-383`;
+    # shipped configs use 'constant', configs/train/*.yaml:18-19)
+    lr_scheduler: str = "constant"
+    lr_warmup_steps: int = 0
+    max_train_steps: int = 0  # decay horizon for 'linear' / 'cosine'
 
 
 def trainable_mask(params, substrings: Optional[Tuple[str, ...]]):
@@ -69,6 +74,35 @@ def trainable_mask(params, substrings: Optional[Tuple[str, ...]]):
     return jax.tree_util.tree_map_with_path(mask_path, params)
 
 
+def make_lr_schedule(cfg: TrainConfig):
+    """LR schedule with diffusers ``get_scheduler`` semantics
+    (`/root/reference/scripts/train_stage1.py:378-383`): 'constant' ignores
+    warmup entirely; the others warm up linearly from 0 over
+    ``lr_warmup_steps`` then hold / decay to 0 at ``max_train_steps``."""
+    base, warm = cfg.learning_rate, cfg.lr_warmup_steps
+    total = max(cfg.max_train_steps, warm + 1)
+    kind = cfg.lr_scheduler
+    if kind == "constant":
+        return base
+    if kind == "constant_with_warmup":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base, max(warm, 1)),
+             optax.constant_schedule(base)],
+            [warm],
+        )
+    if kind == "linear":
+        decay = optax.linear_schedule(base, 0.0, max(total - warm, 1))
+    elif kind == "cosine":
+        decay = optax.cosine_decay_schedule(base, max(total - warm, 1))
+    else:
+        raise ValueError(f"unsupported lr_scheduler {kind!r}")
+    if warm == 0:
+        return decay
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, base, warm), decay], [warm]
+    )
+
+
 def make_optimizer(cfg: TrainConfig, params=None):
     """Optimizer over the TRAINABLE partition only. Freezing is expressed by
     never showing frozen params to the optimizer (make_train_step partitions
@@ -79,7 +113,7 @@ def make_optimizer(cfg: TrainConfig, params=None):
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
-            cfg.learning_rate,
+            make_lr_schedule(cfg),
             b1=cfg.adam_b1,
             b2=cfg.adam_b2,
             eps=cfg.adam_eps,

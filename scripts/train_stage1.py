@@ -108,6 +108,9 @@ def main():
         snr_gamma=float(cfg.get("snr_gamma", 5.0)),
         prediction_type="v_prediction" if zero_snr else "epsilon",
         trainable_substrings=None,  # stage 1 trains both UNets fully
+        lr_scheduler=solver.get("lr_scheduler", "constant"),
+        lr_warmup_steps=int(solver.get("lr_warmup_steps", 0)),
+        max_train_steps=int(solver.get("max_train_steps", 0)),
     )
 
     enc_rng = {"key": jax.random.PRNGKey(cfg.get("seed", 186))}

@@ -117,6 +117,9 @@ def main():
         snr_gamma=float(cfg.get("snr_gamma", 5.0)),
         prediction_type="v_prediction" if zero_snr else "epsilon",
         trainable_substrings=("motion", "man_"),  # `train_stage2.py:379-394`
+        lr_scheduler=solver.get("lr_scheduler", "constant"),
+        lr_warmup_steps=int(solver.get("lr_warmup_steps", 0)),
+        max_train_steps=int(solver.get("max_train_steps", 0)),
     )
 
     enc_rng = {"key": jax.random.PRNGKey(cfg.get("seed", 186))}

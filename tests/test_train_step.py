@@ -136,3 +136,38 @@ def test_train_loop_cycles_epochs(tmp_path):
     )
     assert int(state.step) == 5
     assert epochs["n"] == 3  # 2 + 2 + 1 batches
+
+
+def test_lr_schedules_match_diffusers_semantics():
+    """diffusers get_scheduler semantics (`train_stage1.py:378-383`):
+    'constant' ignores warmup; others warm 0->lr then hold / decay to 0."""
+    from mikudance_tpu.train.steps import make_lr_schedule
+
+    base = 1e-4
+    c = make_lr_schedule(TrainConfig(learning_rate=base, lr_scheduler="constant",
+                                     lr_warmup_steps=100))
+    assert c == base  # a scalar: constant regardless of warmup
+
+    cw = make_lr_schedule(TrainConfig(learning_rate=base,
+                                      lr_scheduler="constant_with_warmup",
+                                      lr_warmup_steps=100))
+    assert float(cw(0)) == 0.0
+    assert abs(float(cw(50)) - base / 2) < 1e-9
+    assert abs(float(cw(100)) - base) < 1e-9
+    assert abs(float(cw(10_000)) - base) < 1e-9
+
+    lin = make_lr_schedule(TrainConfig(learning_rate=base, lr_scheduler="linear",
+                                       lr_warmup_steps=100, max_train_steps=1100))
+    assert float(lin(0)) == 0.0
+    assert abs(float(lin(100)) - base) < 1e-9
+    assert abs(float(lin(600)) - base / 2) < 1e-9
+    assert abs(float(lin(1100))) < 1e-9
+
+    cos = make_lr_schedule(TrainConfig(learning_rate=base, lr_scheduler="cosine",
+                                       lr_warmup_steps=0, max_train_steps=1000))
+    assert abs(float(cos(0)) - base) < 1e-9
+    assert abs(float(cos(1000))) < 1e-9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        make_lr_schedule(TrainConfig(lr_scheduler="polynomial"))
