@@ -59,6 +59,10 @@ class TrainConfig:
     lr_scheduler: str = "constant"
     lr_warmup_steps: int = 0
     max_train_steps: int = 0  # decay horizon for 'linear' / 'cosine'
+    # micro-batch gradient accumulation (`solver.gradient_accumulation_steps`,
+    # Accelerate semantics: grads averaged over k micro-steps, one optimizer
+    # step per k). Shipped configs use 1.
+    gradient_accumulation_steps: int = 1
 
 
 def trainable_mask(params, substrings: Optional[Tuple[str, ...]]):
@@ -110,7 +114,7 @@ def make_optimizer(cfg: TrainConfig, params=None):
     the update pass touch every frozen SD weight (zero-grad materialization +
     add-zero apply), which alone pushed the stage-2 step past a 16 GB chip."""
     del params  # kept for signature stability
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
             make_lr_schedule(cfg),
@@ -120,6 +124,12 @@ def make_optimizer(cfg: TrainConfig, params=None):
             weight_decay=cfg.weight_decay,
         ),
     )
+    if cfg.gradient_accumulation_steps > 1:
+        # grads average over k micro-steps, the inner chain (incl. the global
+        # -norm clip, applied to the SYNCED average as Accelerate does) fires
+        # every k-th — one TrainState.step is one micro-step
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.gradient_accumulation_steps)
+    return tx
 
 
 @dataclasses.dataclass

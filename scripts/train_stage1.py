@@ -99,8 +99,16 @@ def main():
         rescale_betas_zero_snr=zero_snr,
     )
 
+    accum = int(solver.get("gradient_accumulation_steps", 1))
+    lr = float(solver.get("learning_rate", 1e-5))
+    if solver.get("scale_lr"):
+        # diffusers/Accelerate convention: lr scales with the global batch
+        lr *= accum * bs * jax.device_count()
     tcfg = TrainConfig(
-        learning_rate=float(solver.get("learning_rate", 1e-5)),
+        learning_rate=lr,
+        adam_b1=float(solver.get("adam_beta1", 0.9)),
+        adam_b2=float(solver.get("adam_beta2", 0.999)),
+        adam_eps=float(solver.get("adam_epsilon", 1e-8)),
         weight_decay=float(solver.get("adam_weight_decay", 1e-2)),
         max_grad_norm=float(solver.get("max_grad_norm", 1.0)),
         uncond_ratio=float(cfg.get("uncond_ratio", 0.1)),
@@ -111,6 +119,7 @@ def main():
         lr_scheduler=solver.get("lr_scheduler", "constant"),
         lr_warmup_steps=int(solver.get("lr_warmup_steps", 0)),
         max_train_steps=int(solver.get("max_train_steps", 0)),
+        gradient_accumulation_steps=accum,
     )
 
     enc_rng = {"key": jax.random.PRNGKey(cfg.get("seed", 186))}

@@ -85,12 +85,20 @@ def main():
     # `train_stage2.py:425-427` gates it off): the v5e backward at 576^2
     # does not fit 16 GB without it (bench_train.py's memory_analysis).
     remat = bool(solver.get("gradient_checkpointing", True))
+    # stage-1 weights: explicit paths, or the reference's dir+step scheme
+    # (`train_stage2.py:361-377`: {dir}/{denoising,reference}_unet-{step}.pth)
+    ref_path = cfg.get("stage1_reference_unet")
+    den_path = cfg.get("stage1_denoising_unet")
+    if not ref_path and cfg.get("stage1_ckpt_dir"):
+        step1 = cfg.get("stage1_ckpt_step", 120000)
+        ref_path = os.path.join(cfg["stage1_ckpt_dir"], f"reference_unet-{step1}.pth")
+        den_path = os.path.join(cfg["stage1_ckpt_dir"], f"denoising_unet-{step1}.pth")
     guide, gp = loaders.load_guidance_params(
-        cfg.get("stage1_reference_unet"), use_man=True, dtype=dtype, latent_hw=h,
+        ref_path, use_man=True, dtype=dtype, latent_hw=h,
         unet_config=unet_cfg, remat=remat,
     )
     den, dp = loaders.load_denoising_params(
-        cfg.get("stage1_denoising_unet"), cfg.get("mm_path"),
+        den_path, cfg.get("mm_path"),
         use_motion=True, dtype=dtype, latent_hw=h, unet_config=unet_cfg, remat=remat,
     )
     vae_enc, vep, vae_dec, vdp = loaders.load_vae_params(cfg.get("vae_model_path"), dtype=dtype, hw=size)
@@ -108,8 +116,15 @@ def main():
         rescale_betas_zero_snr=zero_snr,
     )
 
+    accum = int(solver.get("gradient_accumulation_steps", 1))
+    lr = float(solver.get("learning_rate", 1e-5))
+    if solver.get("scale_lr"):
+        lr *= accum * bs * jax.device_count()
     tcfg = TrainConfig(
-        learning_rate=float(solver.get("learning_rate", 1e-5)),
+        learning_rate=lr,
+        adam_b1=float(solver.get("adam_beta1", 0.9)),
+        adam_b2=float(solver.get("adam_beta2", 0.999)),
+        adam_eps=float(solver.get("adam_epsilon", 1e-8)),
         weight_decay=float(solver.get("adam_weight_decay", 1e-2)),
         max_grad_norm=float(solver.get("max_grad_norm", 1.0)),
         uncond_ratio=float(cfg.get("uncond_ratio", 0.1)),
@@ -120,6 +135,7 @@ def main():
         lr_scheduler=solver.get("lr_scheduler", "constant"),
         lr_warmup_steps=int(solver.get("lr_warmup_steps", 0)),
         max_train_steps=int(solver.get("max_train_steps", 0)),
+        gradient_accumulation_steps=accum,
     )
 
     enc_rng = {"key": jax.random.PRNGKey(cfg.get("seed", 186))}

@@ -171,3 +171,70 @@ def test_lr_schedules_match_diffusers_semantics():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         make_lr_schedule(TrainConfig(lr_scheduler="polynomial"))
+
+
+def test_gradient_accumulation_matches_full_batch():
+    """Accelerate semantics (`solver.gradient_accumulation_steps`): k
+    micro-steps on B/k-sample micro-batches, grads averaged, == one step on
+    the full B-sample batch (exactly, for deterministic Adam)."""
+    # small on purpose (grad-graph compiles dominate; min channel 32 for the
+    # motion module's hard-coded 32-group norm)
+    SMALL = UNetConfig(block_out_channels=(32, 64), layers_per_block=1,
+                       attention_heads=4)
+    guide = GuidanceUNet(GuidanceUNetConfig(unet=SMALL, use_man=True))
+    den = DenoisingUNet(
+        DenoisingUNetConfig(unet=SMALL, motion=MotionModuleConfig(num_attention_heads=4))
+    )
+    rng0 = jax.random.PRNGKey(0)
+    gp = jax.jit(guide.init)(
+        rng0, jnp.zeros((1, h, w, 20)), jnp.zeros((1, h, w, 2)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 5, 768)),
+    )
+    dp = jax.jit(den.init)(
+        rng0, jnp.zeros((1, 1, h, w, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 5, 768)),
+    )
+    schedule = DDIMSchedule.create(beta_schedule="scaled_linear")
+    full = _batch(0)
+    halves = [
+        {k: v[:B // 2] for k, v in full.items()},
+        {k: v[B // 2:] for k, v in full.items()},
+    ]
+    key = jax.random.PRNGKey(9)
+
+    # the loss draws noise per (rng, batch shape), so a k=2 run over halves is
+    # not bitwise-equal to one full-batch step; the exact contract is:
+    # MultiSteps(k=2) over [h1, h2] == one plain-adamw step on mean(g(h1), g(h2))
+    import optax
+
+    from mikudance_tpu.train.steps import diffusion_loss, make_optimizer
+
+    cfg_acc = TrainConfig(learning_rate=1e-3, gradient_accumulation_steps=2)
+    cfg_one = TrainConfig(learning_rate=1e-3)
+
+    state, tx_acc = init_train_state(cfg_acc, gp, dp)
+    step_acc = jax.jit(make_train_step(cfg_acc, schedule, guide, den, tx_acc))
+    s = state
+    for hb in halves:
+        s, m = step_acc(s, hb, key)
+    acc_params = jax.device_get(s.params)
+
+    # manual: average the two micro-grads, apply one plain-adamw update
+    grads = []
+    for hb in halves:
+        def loss_fn(p):
+            return diffusion_loss(cfg_one, schedule, guide, den, p, hb, key)
+        g = jax.jit(lambda p: jax.grad(loss_fn, has_aux=True)(p)[0])(state.params)
+        grads.append(g)
+    gmean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, *grads)
+    tx = make_optimizer(cfg_one)
+    opt = tx.init(state.params)
+    updates, _ = jax.jit(tx.update)(gmean, opt, state.params)
+    want = jax.device_get(optax.apply_updates(state.params, updates))
+
+    flat_a = dict(jax.tree_util.tree_leaves_with_path(acc_params))
+    for path, wanted in jax.tree_util.tree_leaves_with_path(want):
+        np.testing.assert_allclose(
+            np.asarray(flat_a[path]), np.asarray(wanted), rtol=2e-5, atol=2e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
