@@ -35,6 +35,7 @@ T, H, W = 16, 768, 768
 STEPS = 20
 h, w = H // 8, W // 8
 DTYPE = jnp.bfloat16
+METRIC = "sec per 16-frame 768^2 clip, 20 DDIM steps, full pipeline (1x v5e)"
 
 
 def build_bundle() -> ModelBundle:
@@ -101,7 +102,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "sec per 16-frame 768^2 clip, 20 DDIM steps, full pipeline (1x v5e)",
+                "metric": METRIC,
                 "value": round(sec, 3),
                 "unit": "s",
                 "vs_baseline": round(8.0 / sec, 3),
@@ -135,7 +136,7 @@ def _require_device(timeout_s: float = 300.0):
         print(
             json.dumps(
                 {
-                    "metric": "sec per 16-frame 768^2 clip, 20 DDIM steps, full pipeline (1x v5e)",
+                    "metric": METRIC,
                     "error": f"TPU backend init did not complete in {timeout_s:.0f}s "
                     "(axon tunnel down?) — no measurement taken",
                 }

@@ -304,6 +304,17 @@ class VideoPipeline:
             banks = {k: v[:n_tok] for k, v in banks.items()}
         return banks
 
+    # ------------------------------------------------------- CFG fusion step
+    def _fused_cfg_step(self, sum_u, sum_c, counts, scale, t, t_prev, latents):
+        """Counter-normalized window fusion -> CFG mix -> one DDIM update
+        (`pipeline_mikudance.py:577-678`). Shared by the cached and streamed
+        denoisers — their equivalence test assumes this math is single-sourced.
+        """
+        inv = (1.0 / counts.astype(jnp.float32))[:, None, None, None]
+        mean_u, mean_c = sum_u * inv, sum_c * inv
+        noise_pred = mean_u + scale * (mean_c - mean_u)
+        return self.schedule.step(noise_pred, t, t_prev, latents)
+
     # ---------------------------------------------------------------- denoise
     def _denoise(
         self,
@@ -388,10 +399,10 @@ class VideoPipeline:
             sum_c = jax.ops.segment_sum(
                 pred_c.reshape((nw * wf,) + pred_c.shape[2:]), flat_idx, num_segments=T
             )
-            inv = (1.0 / counts.astype(jnp.float32))[:, None, None, None]
-            mean_u, mean_c = sum_u * inv, sum_c * inv
-            noise_pred = mean_u + do_cfg * (mean_c - mean_u)
-            return self.schedule.step(noise_pred, t, t_prev, latents), None
+            return (
+                self._fused_cfg_step(sum_u, sum_c, counts, do_cfg, t, t_prev, latents),
+                None,
+            )
 
         latents, _ = jax.lax.scan(step_fn, noise.astype(jnp.float32), (ts, prev_ts))
         return latents
@@ -488,10 +499,10 @@ class VideoPipeline:
 
             zero = jnp.zeros_like(lat)
             (sum_u, sum_c), _ = jax.lax.scan(group_fn, (zero, zero), (win_g, gctx_g))
-            inv = (1.0 / counts.astype(jnp.float32))[:, None, None, None]
-            mean_u, mean_c = sum_u * inv, sum_c * inv
-            noise_pred = mean_u + do_cfg * (mean_c - mean_u)
-            return self.schedule.step(noise_pred, t, t_prev, lat), None
+            return (
+                self._fused_cfg_step(sum_u, sum_c, counts, do_cfg, t, t_prev, lat),
+                None,
+            )
 
         latents, _ = jax.lax.scan(step_fn, noise.astype(jnp.float32), (ts, prev_ts))
         return latents
@@ -614,15 +625,22 @@ class VideoPipeline:
         g_ctx = guidance_context_for_windows(
             windows, ctx_cond, jnp.zeros_like(ctx_cond), cfgc.guidance_clip_mode
         ).astype(self.bundle.guide.dtype)
+        if cfgc.bank_mode not in ("auto", "cached", "per_step"):
+            raise ValueError(f"unknown bank_mode {cfgc.bank_mode!r}")
         budget = cfgc.cached_bank_positions * (mesh.devices.size if mesh else 1)
         per_step = cfgc.bank_mode == "per_step" or (
             cfgc.bank_mode == "auto" and nw * wf > budget
         )
         if per_step and mesh is not None:
-            # SPMD streaming not implemented: the sharded cached budget is
-            # n_devices x larger, which covers every geometry the single-chip
-            # streamer is needed for today.
-            per_step = False
+            # SPMD bank streaming is not implemented: the denoise phase runs
+            # single-device streamed (encode/decode keep the mesh). The
+            # sharded cached budget is n_devices x larger, so this only
+            # triggers for videos too long even for the sharded cache —
+            # where fitting at all beats sharding.
+            print(
+                f"bank streaming: {nw * wf} positions exceed the sharded "
+                f"cache budget ({budget}); denoise runs single-device"
+            )
 
         ts, prev_ts = inference_step_pairs(self.schedule, steps)
         if per_step:

@@ -143,6 +143,13 @@ def train_loop(
 
     step = start_step
     t0 = time.time()
+    # `step`, max_steps, and every cadence below count OPTIMIZER steps, like
+    # the reference (global_step advances only on sync_gradients,
+    # `train_stage1.py:669-677`): with gradient accumulation each counted
+    # step is `accum` micro-batches, and optax.MultiSteps fires the inner
+    # update (and advances the LR schedule) once per counted step.
+    accum = max(1, cfg.gradient_accumulation_steps)
+    micro = 0
     # Epoch cycling: the reference DataLoader loops per epoch until max_steps
     # (`train_stage1.py:470-478`); re-iterate `batches` (each __iter__ of
     # PrefetchLoader reshuffles) until the step budget is spent. A plain
@@ -161,6 +168,9 @@ def train_loop(
             dev_batch = mesh_lib.shard_train_batch(dev_batch, mesh)
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, dev_batch, sub)
+            micro += 1
+            if micro % accum:
+                continue  # mid-accumulation: no optimizer step happened
             step += 1
 
             if step % log_every == 0:

@@ -102,8 +102,11 @@ def main():
     accum = int(solver.get("gradient_accumulation_steps", 1))
     lr = float(solver.get("learning_rate", 1e-5))
     if solver.get("scale_lr"):
-        # diffusers/Accelerate convention: lr scales with the global batch
-        lr *= accum * bs * jax.device_count()
+        # Accelerate convention: lr scales with the global batch. Here the
+        # HOST batch is already global (one bs-sample batch sharded over the
+        # data mesh), unlike the reference's per-process loaders — so no
+        # device-count factor.
+        lr *= accum * bs
     tcfg = TrainConfig(
         learning_rate=lr,
         adam_b1=float(solver.get("adam_beta1", 0.9)),

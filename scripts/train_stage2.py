@@ -89,10 +89,12 @@ def main():
     # (`train_stage2.py:361-377`: {dir}/{denoising,reference}_unet-{step}.pth)
     ref_path = cfg.get("stage1_reference_unet")
     den_path = cfg.get("stage1_denoising_unet")
-    if not ref_path and cfg.get("stage1_ckpt_dir"):
+    if cfg.get("stage1_ckpt_dir"):  # each path derived independently:
         step1 = cfg.get("stage1_ckpt_step", 120000)
-        ref_path = os.path.join(cfg["stage1_ckpt_dir"], f"reference_unet-{step1}.pth")
-        den_path = os.path.join(cfg["stage1_ckpt_dir"], f"denoising_unet-{step1}.pth")
+        ref_path = ref_path or os.path.join(
+            cfg["stage1_ckpt_dir"], f"reference_unet-{step1}.pth")
+        den_path = den_path or os.path.join(
+            cfg["stage1_ckpt_dir"], f"denoising_unet-{step1}.pth")
     guide, gp = loaders.load_guidance_params(
         ref_path, use_man=True, dtype=dtype, latent_hw=h,
         unet_config=unet_cfg, remat=remat,
@@ -119,7 +121,9 @@ def main():
     accum = int(solver.get("gradient_accumulation_steps", 1))
     lr = float(solver.get("learning_rate", 1e-5))
     if solver.get("scale_lr"):
-        lr *= accum * bs * jax.device_count()
+        # the host batch is already global (sharded over the mesh): no
+        # device-count factor, unlike the reference's per-process loaders
+        lr *= accum * bs
     tcfg = TrainConfig(
         learning_rate=lr,
         adam_b1=float(solver.get("adam_beta1", 0.9)),

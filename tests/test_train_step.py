@@ -173,12 +173,9 @@ def test_lr_schedules_match_diffusers_semantics():
         make_lr_schedule(TrainConfig(lr_scheduler="polynomial"))
 
 
-def test_gradient_accumulation_matches_full_batch():
-    """Accelerate semantics (`solver.gradient_accumulation_steps`): k
-    micro-steps on B/k-sample micro-batches, grads averaged, == one step on
-    the full B-sample batch (exactly, for deterministic Adam)."""
-    # small on purpose (grad-graph compiles dominate; min channel 32 for the
-    # motion module's hard-coded 32-group norm)
+def _small_models():
+    """Smallest structural config (grad-graph compiles dominate test time;
+    min channel 32 for the motion module's hard-coded 32-group norm)."""
     SMALL = UNetConfig(block_out_channels=(32, 64), layers_per_block=1,
                        attention_heads=4)
     guide = GuidanceUNet(GuidanceUNetConfig(unet=SMALL, use_man=True))
@@ -194,6 +191,14 @@ def test_gradient_accumulation_matches_full_batch():
         rng0, jnp.zeros((1, 1, h, w, 4)), jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, 5, 768)),
     )
+    return guide, gp, den, dp
+
+
+def test_gradient_accumulation_matches_full_batch():
+    """Accelerate semantics (`solver.gradient_accumulation_steps`): k
+    micro-steps on B/k-sample micro-batches, grads averaged, == one step on
+    the full B-sample batch (exactly, for deterministic Adam)."""
+    guide, gp, den, dp = _small_models()
     schedule = DDIMSchedule.create(beta_schedule="scaled_linear")
     full = _batch(0)
     halves = [
@@ -238,3 +243,30 @@ def test_gradient_accumulation_matches_full_batch():
             np.asarray(flat_a[path]), np.asarray(wanted), rtol=2e-5, atol=2e-6,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_train_loop_counts_optimizer_steps_with_accumulation(tmp_path):
+    """max_steps and the cadences count OPTIMIZER steps (the reference's
+    global_step advances only on sync_gradients): with k=2 accumulation,
+    max_steps=3 must consume 6 micro-batches."""
+    from mikudance_tpu.train.runner import train_loop
+
+    guide, gp, den, dp = _small_models()
+    cfg = TrainConfig(learning_rate=1e-3, gradient_accumulation_steps=2)
+    schedule = DDIMSchedule.create(beta_schedule="scaled_linear")
+    seen = {"n": 0}
+
+    class Loader:
+        def __iter__(self):
+            for i in range(10):
+                seen["n"] += 1
+                yield _batch(i)
+
+    state = train_loop(
+        cfg=cfg, schedule=schedule, guide=guide, guide_params=gp,
+        den=den, den_params=dp, batches=Loader(), prepare_batch=lambda b, r: b,
+        max_steps=3, output_dir=str(tmp_path), run_name="accum-count",
+        checkpointing_steps=10**6, log_every=10**6,
+    )
+    assert seen["n"] == 6  # 3 optimizer steps x 2 micro-batches
+    assert int(state.step) == 6  # TrainState.step counts micro-steps
