@@ -100,10 +100,16 @@ def load_denoising_params(
     latent_hw: int = 8,
     unet_config=None,
     remat: bool = False,
+    motion_config: Optional[MotionModuleConfig] = None,
 ):
+    """``motion_config``: full motion-module hyperparameters (the reference's
+    ``unet_additional_kwargs.motion_module_kwargs`` from
+    `configs/inference/mikudance_config.yaml`); defaults match the released
+    checkpoints."""
     cfg = DenoisingUNetConfig(
         unet=unet_config or UNetConfig(),
-        motion=MotionModuleConfig(
+        motion=motion_config
+        or MotionModuleConfig(
             enabled=use_motion,
             num_attention_heads=(unet_config or UNetConfig()).attention_heads,
         ),

@@ -642,7 +642,9 @@ class VideoPipeline:
                 f"cache budget ({budget}); denoise runs single-device"
             )
 
-        ts, prev_ts = inference_step_pairs(self.schedule, steps)
+        ts, prev_ts = inference_step_pairs(
+            self.schedule, steps, spacing=cfgc.scheduler.timestep_spacing
+        )
         if per_step:
             group = choose_bank_group(nw, wf, cfgc.cached_bank_positions)
             latents = self._denoise_streamed_jit(

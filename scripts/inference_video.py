@@ -115,9 +115,56 @@ def main():
     if not (ref_path and os.path.exists(ref_path)):
         print("WARNING: reference_unet weights not found -> random init (smoke mode)")
 
+    # Optional hyperparameter file — the reference's `inference_config:`
+    # indirection (mikudance_config.yaml: motion-module kwargs + scheduler
+    # kwargs + sampler); absent keys keep the dataclass defaults, which ARE
+    # the released-checkpoint settings.
+    motion_cfg, sched_cfg = None, None
+    icfg_path = _opt(cfg, "inference_config")
+    if icfg_path and os.path.exists(icfg_path):
+        from mikudance_tpu.core.configs import MotionModuleConfig, SchedulerConfig
+
+        with open(icfg_path) as f:
+            icfg = yaml.safe_load(f) or {}
+        ua = icfg.get("unet_additional_kwargs", {})
+        mk = ua.get("motion_module_kwargs", {})
+        motion_cfg = MotionModuleConfig(
+            enabled=bool(ua.get("use_motion_module", True)),
+            num_attention_heads=int(mk.get("num_attention_heads", 8)),
+            num_transformer_blocks=int(mk.get("num_transformer_block", 1)),
+            attention_layers_per_block=len(
+                mk.get("attention_block_types", ["Temporal_Self", "Temporal_Self"])
+            ),
+            temporal_position_encoding=bool(
+                mk.get("temporal_position_encoding", True)
+            ),
+            temporal_position_encoding_max_len=int(
+                mk.get("temporal_position_encoding_max_len", 32)
+            ),
+            resolutions=tuple(ua.get("motion_module_resolutions", (1, 2, 4, 8))),
+            mid_block=bool(ua.get("motion_module_mid_block", True)),
+            decoder_only=bool(ua.get("motion_module_decoder_only", False)),
+        )
+        nk = icfg.get("noise_scheduler_kwargs", {})
+        d = SchedulerConfig()
+        sched_cfg = SchedulerConfig(
+            beta_start=float(nk.get("beta_start", d.beta_start)),
+            beta_end=float(nk.get("beta_end", d.beta_end)),
+            beta_schedule=nk.get("beta_schedule", d.beta_schedule),
+            prediction_type=nk.get("prediction_type", d.prediction_type),
+            rescale_betas_zero_snr=bool(
+                nk.get("rescale_betas_zero_snr", d.rescale_betas_zero_snr)
+            ),
+            timestep_spacing=nk.get("timestep_spacing", d.timestep_spacing),
+        )
+        sampler = icfg.get("sampler", "DDIM")
+        if sampler != "DDIM":
+            raise ValueError(f"only the DDIM sampler is supported, got {sampler!r}")
+
     guide, gp = loaders.load_guidance_params(ref_path, use_man=True, dtype=dtype, latent_hw=h)
     den, dp = loaders.load_denoising_params(
-        den_path, mm_path, sd_unet_file, use_motion=True, dtype=dtype, latent_hw=h
+        den_path, mm_path, sd_unet_file, use_motion=True, dtype=dtype, latent_hw=h,
+        motion_config=motion_cfg,
     )
     enc, ep, dec, dcp = loaders.load_vae_params(_opt(cfg, "pretrained_vae_path"), dtype=dtype, hw=height)
     clip, cp = loaders.load_clip_params(_opt(cfg, "image_encoder_path"), dtype=dtype)
@@ -147,6 +194,7 @@ def main():
     pcfg = PipelineConfig(
         width=width, height=height, num_inference_steps=args.steps,
         guidance_scale=args.cfg, context=ContextConfig(frames=30, overlap=8),
+        **({"scheduler": sched_cfg} if sched_cfg else {}),
     )
     # SPMD inference: on a multi-chip slice (e.g. v5e-8) the CFG/window batch
     # and the frames within each window shard over a ('win','frame') mesh;

@@ -100,6 +100,9 @@ def test_inference_video_cli_end_to_end(tmp_path, monkeypatch):
         "tgt_w2c_path": None,  # identity camera -> zero scene motion
         "tgt_c2w_path": None,
         "ref_depth_path": None,
+        # exercises the reference's hyperparameter-file indirection
+        # (scheduler kwargs + motion kwargs reader)
+        "inference_config": "configs/inference/mikudance_config.yaml",
         "weight_dtype": "fp32",
     }
     cfg_path = tmp_path / "cfg.yaml"
