@@ -127,6 +127,19 @@ def main():
         with open(icfg_path) as f:
             icfg = yaml.safe_load(f) or {}
         ua = icfg.get("unet_additional_kwargs", {})
+        # variants the released checkpoints never use (and this rebuild does
+        # not implement) fail loudly instead of silently diverging:
+        if ua.get("unet_use_cross_frame_attention") or ua.get("unet_use_temporal_attention"):
+            raise NotImplementedError(
+                "cross-frame / temporal attention UNet variants are not built "
+                "(off in every reference config)"
+            )
+        if ua.get("motion_module_type", "Vanilla") != "Vanilla":
+            raise NotImplementedError("only the Vanilla motion module exists")
+        if not ua.get("use_inflated_groupnorm", True):
+            raise NotImplementedError(
+                "per-frame (non-inflated) GroupNorm is the only lowering here"
+            )
         mk = ua.get("motion_module_kwargs", {})
         motion_cfg = MotionModuleConfig(
             enabled=bool(ua.get("use_motion_module", True)),
