@@ -50,6 +50,15 @@ def main():
     with open(args.config) as f:
         cfg = yaml.safe_load(f)
 
+    # Multi-host pods (the accelerate-launch analog, SURVEY §5.8): every host
+    # runs this same script; jax.distributed wires the global mesh and the
+    # XLA collectives ride ICI/DCN. Correctness relies on the loaders being
+    # deterministic in `seed` (they are: host RNGs and jax keys all derive
+    # from cfg.seed), so each host materializes the SAME global batch and
+    # device_put keeps only its addressable shards. Single-host runs skip it.
+    if int(os.environ.get("MIKUDANCE_MULTIHOST", "0")):
+        jax.distributed.initialize()
+
     from mikudance_tpu.core import loaders
     from mikudance_tpu.diffusion.ddim import DDIMSchedule
     from mikudance_tpu.train import checkpoint as ckpt_lib

@@ -55,6 +55,11 @@ def main():
     with open(args.config) as f:
         cfg = yaml.safe_load(f)
 
+    # multi-host pods: see scripts/train_stage1.py — same-seed determinism
+    # makes every host materialize the same global batch
+    if int(os.environ.get("MIKUDANCE_MULTIHOST", "0")):
+        jax.distributed.initialize()
+
     from mikudance_tpu.core import loaders
     from mikudance_tpu.diffusion.ddim import DDIMSchedule
     from mikudance_tpu.train import checkpoint as ckpt_lib
