@@ -98,6 +98,7 @@ def train_loop(
     validation_steps: int = 3000,
     export_fn: Optional[Callable[[int, TrainState], None]] = None,
     save_model_steps: int = 3000,
+    save_model_epochs: int = 0,  # reference's save_model_epoch_interval; 0 = off
     batch_size: int = 0,
     clip_frames: int = 1,
     frozen_dtype=None,
@@ -188,6 +189,9 @@ def train_loop(
         if not saw_batch:
             break  # exhausted generator or empty dataset: no more data
         epoch += 1
+        # deployable export at epoch boundaries too (`train_stage1.py:736-760`)
+        if export_fn and save_model_epochs and epoch % save_model_epochs == 0:
+            export_fn(step, state)
 
     mgr.wait_until_finished()
     return state

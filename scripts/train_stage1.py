@@ -249,6 +249,7 @@ def main():
         # ~27 GB/chip, over a 16 GB v5e — shard params + Adam state over the
         # data mesh (ZeRO/FSDP-style, core/mesh.py::zero_shard_state)
         zero_shard=bool(solver.get("optimizer_state_sharding", True)),
+        save_model_epochs=int(cfg.get("save_model_epoch_interval", 0)),
         save_model_steps=int(cfg.get("save_model_step_interval", 3000)),
         validation_fn=validation_fn,
         validation_steps=int(cfg.get("validation_steps", cfg.get("val", {}).get("validation_steps", 3000))),

@@ -278,6 +278,7 @@ def main():
         seed=int(cfg.get("seed", 186)),
         export_fn=export_fn,
         save_model_steps=int(cfg.get("save_model_step_interval", 3000)),
+        save_model_epochs=int(cfg.get("save_model_epoch_interval", 0)),
         validation_fn=validation_fn,
         validation_steps=int(cfg.get("validation_steps", cfg.get("val", {}).get("validation_steps", 3000))),
         # multi-chip: shard the batch over 'data' AND each clip's frames over

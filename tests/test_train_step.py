@@ -270,3 +270,30 @@ def test_train_loop_counts_optimizer_steps_with_accumulation(tmp_path):
     )
     assert seen["n"] == 6  # 3 optimizer steps x 2 micro-batches
     assert int(state.step) == 6  # TrainState.step counts micro-steps
+
+
+def test_train_loop_epoch_export(tmp_path):
+    """save_model_epochs exports deployables at epoch boundaries (the
+    reference's save_model_epoch_interval, `train_stage1.py:736-760`)."""
+    from mikudance_tpu.train.runner import train_loop
+
+    guide, gp, den, dp = _small_models()
+    cfg = TrainConfig(learning_rate=1e-3)
+    schedule = DDIMSchedule.create(beta_schedule="scaled_linear")
+    exports = []
+
+    class TwoBatchLoader:
+        def __iter__(self):
+            yield _batch(0)
+            yield _batch(1)
+
+    train_loop(
+        cfg=cfg, schedule=schedule, guide=guide, guide_params=gp,
+        den=den, den_params=dp, batches=TwoBatchLoader(),
+        prepare_batch=lambda b, r: b, max_steps=5,
+        output_dir=str(tmp_path), run_name="epoch-export",
+        checkpointing_steps=10**6, log_every=10**6, save_model_steps=10**6,
+        export_fn=lambda s, st: exports.append(s), save_model_epochs=1,
+    )
+    # epochs end at steps 2 and 4; the budget cuts epoch 3 at step 5
+    assert exports == [2, 4, 5]
