@@ -96,6 +96,38 @@ def render_hand(
     return _render_dotted(keypoints, width, height, kp.HAND_SKELETON, colors, canvas)
 
 
+def render_generic(
+    keypoints: np.ndarray,  # (K, 2) or (N, K, 2) normalized
+    width: int,
+    height: int,
+    skeleton: Sequence[Sequence[int]],
+    canvas: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Any open-vocabulary category (animal, car, clothing, ...): white
+    skeleton lines + per-index rainbow dots. The reference has NO renderer for
+    these categories — its image driver detects them but crashes at the render
+    dispatch (`inference_xpose_on_image.py:670-685` leaves ``image_result``
+    unbound for instances other than person/face/hand); this is the
+    deliberate improvement that makes the full 28-category vocabulary usable.
+    Skeletons use the category's edge list; the reference catalog mixes
+    index conventions (person/animal/fly/locust are 1-indexed, face/hand/car
+    are 0-indexed), detected here by whether the max index equals K. The
+    clothing/furniture sets ship empty edge lists and render as dot clouds."""
+    K = keypoints.shape[-2]
+    if skeleton and max(max(e) for e in skeleton) >= K:
+        skeleton = [[a - 1, b - 1] for a, b in skeleton]
+    hues = np.linspace(0.0, 1.0, K, endpoint=False)
+    colors = []
+    for hch in hues:  # simple HSV->RGB ring, full saturation/value
+        i = int(hch * 6.0) % 6
+        f = hch * 6.0 - int(hch * 6.0)
+        q, t = 1.0 - f, f
+        colors.append(
+            [(1, t, 0), (q, 1, 0), (0, 1, t), (0, q, 1), (t, 0, 1), (1, 0, q)][i]
+        )
+    return _render_dotted(keypoints, width, height, skeleton, colors, canvas)
+
+
 # ---------------------------------------------------------------------------
 # real-human variants: drive a 2D character from a real-human video
 # (`inference_xpose_on_video.py:405-421` pose head widening,

@@ -23,7 +23,8 @@ from PIL import Image
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mikudance_tpu.toolbox import skeleton_render as sr
-from tools.inference_xpose_on_video import VOCABS, Detector, resize_short_side, synthetic_track
+from tools.inference_xpose_on_video import (
+    Detector, resize_short_side, synthetic_track, vocab_and_renderer)
 
 
 def main():
@@ -32,7 +33,14 @@ def main():
     p.add_argument("--save_dir", "-o", required=True)
     p.add_argument("--unipose_ckpt", default="./pretrained_weights/unipose_swint.pth")
     p.add_argument("--clip_dir", default="./pretrained_weights/clip-vit-base-patch32")
-    p.add_argument("--instance", default="person", choices=list(VOCABS))
+    p.add_argument(
+        "--instance", default="person",
+        help="any of the 28 predefined categories or arbitrary free text "
+             "(open-vocabulary; 'animal' keypoint set unless "
+             "--keypoint_example overrides)")
+    p.add_argument("--keypoint_example", default=None,
+                   help="predefined keypoint vocabulary to pair with a "
+                        "free-text --instance (reference -k flag)")
     p.add_argument("--synthetic_keypoints", action="store_true")
     p.add_argument("--box_threshold", type=float, default=0.2)
     p.add_argument("--iou_threshold", type=float, default=0.4)
@@ -43,7 +51,7 @@ def main():
     name = os.path.splitext(os.path.basename(args.image_path))[0]
     os.makedirs(args.save_dir, exist_ok=True)
 
-    names, render = VOCABS[args.instance]
+    names, render = vocab_and_renderer(args.instance, args.keypoint_example)
     if args.synthetic_keypoints:
         kpts = synthetic_track(1, len(names), 0)[0][None]  # (1, K, 2)
     else:
@@ -58,7 +66,8 @@ def main():
         kpts = np.asarray(kpts).reshape(-1, len(names), 2)
 
     canvas = render(kpts, W, H)
-    out = os.path.join(args.save_dir, f"{args.instance}-{name}.png")
+    out = os.path.join(
+        args.save_dir, f"{args.instance.replace(' ', '_')}-{name}.png")
     Image.fromarray(canvas).save(out)
     print(f"saved {out}")
 

@@ -33,16 +33,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mikudance_tpu.toolbox import keypoints as kp
 from mikudance_tpu.toolbox import skeleton_render as sr
+from mikudance_tpu.toolbox.vocabularies import VOCAB, resolve_vocabulary
 from mikudance_tpu.utils import media
 
 IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
+# The three contract renderers (colormaps are part of the conditioning
+# distribution, README.md:173). Every other category — and any free-text
+# instance prompt — resolves through toolbox.vocabularies and renders with
+# the generic renderer.
 VOCABS = {
     "person": (kp.PERSON_KEYPOINTS, sr.render_pose),
     "face": (kp.FACE_KEYPOINTS, sr.render_face),
     "hand": (kp.HAND_KEYPOINTS, sr.render_hand),
 }
+
+
+def vocab_and_renderer(instance: str, keypoint_example=None):
+    """(keypoint names, renderer(kpts, W, H)) for any instance prompt."""
+    if instance in VOCABS and keypoint_example is None:
+        return VOCABS[instance]
+    names, skeleton = resolve_vocabulary(instance, keypoint_example)
+    return names, (
+        lambda kpts, w, h: sr.render_generic(kpts, w, h, skeleton)
+    )
 
 
 def synthetic_track(T: int, n: int, seed: int = 0) -> np.ndarray:
@@ -148,7 +163,17 @@ def main():
     p.add_argument("--save_dir", "-o", required=True)
     p.add_argument("--unipose_ckpt", default="./pretrained_weights/unipose_swint.pth")
     p.add_argument("--clip_dir", default="./pretrained_weights/clip-vit-base-patch32")
-    p.add_argument("--instance", default="all", choices=["person", "face", "hand", "all"])
+    p.add_argument(
+        "--instance", default="all",
+        help="'all' = the person/face/hand MikuDance conditioning trio; any "
+             "of the 28 predefined categories (see toolbox.vocabularies.VOCAB)"
+             " or arbitrary free text (open-vocabulary; uses the 'animal' "
+             "keypoint set unless --keypoint_example overrides it)")
+    p.add_argument(
+        "--keypoint_example", default=None,
+        help="name of a predefined keypoint vocabulary to pair with a "
+             "free-text --instance (reference inference_xpose_on_image.py "
+             "-k flag)")
     p.add_argument("--synthetic_keypoints", action="store_true")
     p.add_argument("--box_threshold", type=float, default=0.2)
     p.add_argument("--iou_threshold", type=float, default=0.4)
@@ -165,13 +190,17 @@ def main():
     os.makedirs(args.save_dir, exist_ok=True)
 
     wanted = list(VOCABS) if args.instance == "all" else [args.instance]
+    sel = {v: vocab_and_renderer(v, args.keypoint_example) for v in wanted}
 
     if args.synthetic_keypoints:
         tracks = {
-            "person": synthetic_track(T, 17, 0)[:, None],
-            "face": (synthetic_track(T, 68, 1) * 0.3 + 0.35)[:, None],
-            "hand": (synthetic_track(T, 21, 2) * 0.2 + 0.4)[:, None],
-        }  # (T, 1 person, K, 2)
+            v: synthetic_track(T, len(sel[v][0]), seed=i)[:, None]
+            for i, v in enumerate(wanted)
+        }  # (T, 1 instance, K, 2)
+        if "face" in tracks:
+            tracks["face"] = tracks["face"] * 0.3 + 0.35
+        if "hand" in tracks:
+            tracks["hand"] = tracks["hand"] * 0.2 + 0.4
         dets = {k: [tracks[k][t] for t in range(T)] for k in wanted}
     else:
         if not os.path.exists(args.unipose_ckpt):
@@ -183,23 +212,23 @@ def main():
         det = Detector(args.unipose_ckpt, args.clip_dir, imgs.shape[1:3])
         dets = {}
         for vocab in wanted:
-            names, _ = VOCABS[vocab]
+            names, _ = sel[vocab]
             print(f"detecting '{vocab}' ({len(names)} keypoints) on {T} frames")
             dets[vocab] = det.detect(imgs, vocab, names,
                                      args.box_threshold, args.iou_threshold)
 
     for vocab in wanted:
-        _, render = VOCABS[vocab]
+        names, render = sel[vocab]
         if vocab == "person" and args.real_human:
             render = lambda k, w, h: sr.render_human_pose(k, w, h)  # noqa: E731
         elif vocab == "face" and args.real_human:
             render = lambda k, w, h: sr.render_human_face(k, w, h)  # noqa: E731
         video = np.stack([
-            render(np.asarray(dets[vocab][t]).reshape(-1, len(VOCABS[vocab][0]), 2),
-                   W, H)
+            render(np.asarray(dets[vocab][t]).reshape(-1, len(names), 2), W, H)
             for t in range(T)
         ])
-        out = os.path.join(args.save_dir, f"{vocab}-{name}.mp4")
+        safe = vocab.replace(" ", "_")
+        out = os.path.join(args.save_dir, f"{safe}-{name}.mp4")
         media.write_video(video, out, fps)
         print(f"saved {out}")
 
