@@ -62,7 +62,7 @@ h, w = H // 8, W // 8
 STEPS, SCALE, S_CTX = 3, 3.5, 5
 
 
-def _ref_windows():
+def _ref_windows(steps=STEPS, num_frames=T, context_size=3, overlap=1):
     spec = importlib.util.spec_from_file_location(
         "ref_context", "/root/reference/src/pipelines/context.py"
     )
@@ -71,8 +71,8 @@ def _ref_windows():
     return [
         list(win)
         for win in mod.uniform(
-            step=0, num_steps=STEPS, num_frames=T,
-            context_size=3, context_stride=1, context_overlap=1,
+            step=0, num_steps=steps, num_frames=num_frames,
+            context_size=context_size, context_stride=1, context_overlap=overlap,
         )
     ]
 
@@ -86,13 +86,15 @@ def torch_encode_mean(tvae, imgs_nchw):
     return moments[:, :4] * SD_LATENT_SCALE
 
 
-def torch_oracle(tvae, tguide, tden, inputs, alphas_cumprod, step_pairs):
+def torch_oracle(tvae, tguide, tden, inputs, alphas_cumprod, step_pairs,
+                 T=T, h=h, w=w, scale=SCALE):
     """The reference inference algorithm, verbatim, in torch/numpy.
 
     ``step_pairs``: the (timesteps, prev_timesteps) arrays — spacing is
     schedule DATA shared with the pipeline; the per-step UPDATE algebra
     below is an independent numpy implementation."""
     ref_img, skel, pose, face, hand, motion, clip_ctx, noise = inputs
+    SCALE = scale
     windows = _ref_windows()
 
     # per-stream VAE encodes (latent means, scaled)
@@ -165,6 +167,74 @@ def ddim_step_np(out, t, t_prev, x, ac):
     return (a_prev**0.5) * pred_x0 + ((1.0 - a_prev) ** 0.5) * pred_eps
 
 
+def run_pipeline_vs_oracle(
+    tvae, tguide, tden, *, unet_cfg=TINY, vae_cfg=TINY_VAE,
+    vae_blocks=None, vae_layers=VAE_LAYERS, motion_heads=4,
+    T=T, H=H, W=W, steps=STEPS, scale=SCALE, s_ctx=S_CTX,
+    ctx_frames=3, overlap=1, seed=11,
+):
+    """Run the VideoPipeline on converted weights and the all-torch oracle on
+    the same inputs; return (got_video, want_video, got_lat, want_lat).
+    Shared by the pytest below and the weights-day gate
+    (``scripts/verify_parity.py``), which passes real checkpoints + SD-width
+    configs instead of the synthetic tiny twins."""
+    global _ref_windows  # oracle windows parameterized by this call
+    h_, w_ = H // 8, W // 8
+    vae_blocks = vae_blocks or len(VAE_CH)
+
+    rng = np.random.default_rng(seed)
+    ref_img = rng.uniform(-1, 1, (H, W, 3)).astype(np.float32)
+    skel = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    pose = rng.uniform(0, 1, (T, H, W, 3)).astype(np.float32)
+    face = rng.uniform(0, 1, (T, H, W, 3)).astype(np.float32)
+    hand = rng.uniform(0, 1, (T, H, W, 3)).astype(np.float32)
+    motion = rng.normal(0, 0.3, (T, h_, w_, 2)).astype(np.float32)
+    clip_ctx = rng.normal(0, 1, (1, s_ctx, 768)).astype(np.float32)
+    noise = rng.normal(0, 1, (T, h_, w_, 4)).astype(np.float32)
+    inputs = (ref_img, skel, pose, face, hand, motion, clip_ctx, noise)
+
+    # pipeline on CONVERTED weights
+    vae_sd = {k: v.detach().numpy() for k, v in tvae.state_dict().items()}
+    bundle = ModelBundle(
+        GuidanceUNet(GuidanceUNetConfig(unet=unet_cfg, use_man=True)),
+        {"params": convert.convert_unet(
+            tguide.state_dict(), with_man=True, with_conv_out=False)},
+        DenoisingUNet(DenoisingUNetConfig(
+            unet=unet_cfg, motion=MotionModuleConfig(num_attention_heads=motion_heads))),
+        {"params": convert.convert_unet(tden.state_dict(), with_motion=True)},
+        Encoder(vae_cfg),
+        {"params": convert.convert_vae_encoder(vae_sd, vae_blocks, vae_layers)},
+        Decoder(vae_cfg),
+        {"params": convert.convert_vae_decoder(vae_sd, vae_blocks, vae_layers)},
+    )
+    pipe = VideoPipeline(
+        bundle,
+        PipelineConfig(
+            width=W, height=H, num_inference_steps=steps, guidance_scale=scale,
+            context=ContextConfig(frames=ctx_frames, overlap=overlap),
+            guidance_clip_mode="cond",
+        ),
+    )
+    # the oracle's DDIM uses the same schedule DATA but independent step algebra
+    ac = np.asarray(pipe.schedule.alphas_cumprod, np.float64)
+    step_pairs = inference_step_pairs(pipe.schedule, steps)
+
+    got_lat = np.asarray(pipe(*inputs, decode=False))
+    got_video = np.asarray(pipe(*inputs))
+
+    orig_windows = _ref_windows
+    _ref_windows = lambda: orig_windows(steps, T, ctx_frames, overlap)
+    try:
+        with torch.no_grad():
+            want_lat, want_video = torch_oracle(
+                tvae, tguide, tden, inputs, ac, step_pairs, T=T, h=h_, w=w_,
+                scale=scale,
+            )
+    finally:
+        _ref_windows = orig_windows
+    return got_video, want_video, got_lat, want_lat
+
+
 def test_full_pipeline_psnr_vs_torch_oracle():
     torch.manual_seed(3)
     tvae = TAutoencoderKL().eval()
@@ -175,50 +245,9 @@ def test_full_pipeline_psnr_vs_torch_oracle():
         if "proj_out" in name and "temporal_transformer" in name:
             torch.nn.init.normal_(p, std=0.05)
 
-    # shared inputs (floats pass through to_unit_float unchanged)
-    rng = np.random.default_rng(11)
-    ref_img = rng.uniform(-1, 1, (H, W, 3)).astype(np.float32)
-    skel = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
-    pose = rng.uniform(0, 1, (T, H, W, 3)).astype(np.float32)
-    face = rng.uniform(0, 1, (T, H, W, 3)).astype(np.float32)
-    hand = rng.uniform(0, 1, (T, H, W, 3)).astype(np.float32)
-    motion = rng.normal(0, 0.3, (T, h, w, 2)).astype(np.float32)
-    clip_ctx = rng.normal(0, 1, (1, S_CTX, 768)).astype(np.float32)
-    noise = rng.normal(0, 1, (T, h, w, 4)).astype(np.float32)
-    inputs = (ref_img, skel, pose, face, hand, motion, clip_ctx, noise)
-
-    # pipeline on CONVERTED weights
-    vae_sd = {k: v.detach().numpy() for k, v in tvae.state_dict().items()}
-    bundle = ModelBundle(
-        GuidanceUNet(GuidanceUNetConfig(unet=TINY, use_man=True)),
-        {"params": convert.convert_unet(
-            tguide.state_dict(), with_man=True, with_conv_out=False)},
-        DenoisingUNet(DenoisingUNetConfig(
-            unet=TINY, motion=MotionModuleConfig(num_attention_heads=4))),
-        {"params": convert.convert_unet(tden.state_dict(), with_motion=True)},
-        Encoder(TINY_VAE),
-        {"params": convert.convert_vae_encoder(vae_sd, len(VAE_CH), VAE_LAYERS)},
-        Decoder(TINY_VAE),
-        {"params": convert.convert_vae_decoder(vae_sd, len(VAE_CH), VAE_LAYERS)},
+    got_video, want_video, got_lat, want_lat = run_pipeline_vs_oracle(
+        tvae, tguide, tden
     )
-    pipe = VideoPipeline(
-        bundle,
-        PipelineConfig(
-            width=W, height=H, num_inference_steps=STEPS, guidance_scale=SCALE,
-            context=ContextConfig(frames=3, overlap=1), guidance_clip_mode="cond",
-        ),
-    )
-    # the oracle's DDIM uses the same schedule DATA but independent step algebra
-    ac = np.asarray(pipe.schedule.alphas_cumprod, np.float64)
-    step_pairs = inference_step_pairs(pipe.schedule, STEPS)
-
-    got_lat = np.asarray(pipe(*inputs, decode=False))
-    got_video = np.asarray(pipe(*inputs))
-
-    with torch.no_grad():
-        want_lat, want_video = torch_oracle(
-            tvae, tguide, tden, inputs, ac, step_pairs
-        )
 
     # latents: tight cross-framework agreement (fp32 end to end)
     np.testing.assert_allclose(
