@@ -354,6 +354,139 @@ def flash_attention_fullc(
     )(q, k, v)
 
 
+def _flash_kernel_fullc_t(qt_ref, k_ref, vt_ref, ot_ref, *, heads: int,
+                          hd: int, k_block: int, scale: float):
+    """Transposed-PV resident kernel with the anchor folded into the QK
+    matmul — the fast path for the 9216-token top level.
+
+    Two MXU inefficiencies of the non-transposed kernels disappear here:
+
+    - PV: ``pv_t = V^T @ P^T`` has output lanes = q_block (256, full 128-lane
+      tiles) and contraction = k_block (512, full) instead of the (qb, hd+1)
+      = 41-lane output of ``P @ V`` (~32% MXU).
+    - the softmax anchor subtraction rides the QK matmul: q gets a ``-off``
+      row and K an all-ones lane (both land in padding, zero extra MXU
+      passes), so the hot per-element chain is clip+exp2+convert only. The
+      bf16 rounding of ``off`` is a per-q-row CONSTANT factor on p that
+      cancels exactly in the final ``acc / l`` division.
+
+    Layouts: qt/ot are (B, C, S) — head h occupies sublane rows
+    [h*hd, (h+1)*hd); K is (B, S, heads*(hd+8)) lane-augmented (per head:
+    hd lanes of K, one ones lane, 7 zero lanes); vt is (B, heads*(hd+8), S)
+    row-augmented the same way (the ones row turns P.V into the softmax
+    denominator — in sublanes, so it is free for EVERY head_dim, unlike the
+    lane-side ``_augment_v`` which only fits when padding allows)."""
+    hk = hd + 8
+    kv_len = k_ref.shape[1]
+    n_blocks = kv_len // k_block
+
+    for h in range(heads):
+        lo = h * hd
+        lok = h * hk
+        q_raw = qt_ref[0, lo : lo + hd, :]              # (hd, qb)
+        qf = q_raw.astype(jnp.float32) * (scale * LOG2E)
+        off = jnp.sum(qf * q_raw.astype(jnp.float32), axis=0, keepdims=True)
+        qb_n = qf.shape[1]
+        qh_aug = jnp.concatenate([
+            qf.astype(jnp.bfloat16),
+            (-off).astype(jnp.bfloat16),
+            jnp.zeros((hk - hd - 1, qb_n), jnp.bfloat16),
+        ], axis=0)  # (hk, qb)
+
+        l0 = jnp.zeros((8, qb_n), jnp.float32)
+        acc0 = jnp.zeros((hd, qb_n), jnp.float32)
+
+        def body(j, carry, lok=lok, qh_aug=qh_aug):
+            l, acc = carry
+            kh = k_ref[0, pl.ds(j * k_block, k_block), lok : lok + hk]
+            vh = vt_ref[0, lok : lok + hk, pl.ds(j * k_block, k_block)]
+            s_t = jax.lax.dot_general(
+                kh.astype(jnp.bfloat16), qh_aug, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bk, qb): s - off in the log2 domain
+            # two-sided clamp, same role as in the other kernels: the lower
+            # side keeps every weight >= 2^-100 so the denominator can never
+            # flush to zero (q/k come from DIFFERENT projections, so the
+            # anchor does not strictly bound a row's best score)
+            p_t = jnp.exp2(jnp.clip(s_t, -_EXP_CLAMP, _EXP_CLAMP)).astype(jnp.bfloat16)
+            pv_t = jax.lax.dot_general(
+                vh.astype(jnp.bfloat16), p_t, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (hk, qb): rows :hd = V^T P^T, row hd = colsum(P^T)
+            return l + pv_t[hd : hd + 8], acc + pv_t[:hd]
+
+        l, acc = jax.lax.fori_loop(0, n_blocks, body, (l0, acc0))
+        ot_ref[0, lo : lo + hd, :] = (acc / l[:1]).astype(ot_ref.dtype)
+
+
+def _aug_heads(x: jnp.ndarray, heads: int, hd: int, axis_rows: bool):
+    """(B, S, heads*hd) -> augmented per-head layout with a ones slot and 7
+    zero slots. axis_rows=False: lane-augmented (B, S, heads*(hd+8)).
+    axis_rows=True: transposed row-augmented (B, heads*(hd+8), S)."""
+    B, S, _ = x.shape
+    x4 = x.reshape(B, S, heads, hd)
+    ones = jnp.ones((B, S, heads, 1), x.dtype)
+    zeros = jnp.zeros((B, S, heads, 7), x.dtype)
+    aug = jnp.concatenate([x4, ones, zeros], axis=3)  # (B, S, heads, hd+8)
+    if axis_rows:
+        return aug.transpose(0, 2, 3, 1).reshape(B, heads * (hd + 8), S)
+    return aug.reshape(B, S, heads * (hd + 8))
+
+
+def flash_attention_fullc_t(
+    q: jnp.ndarray,  # (B, S, C), heads packed in C
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    scale: float,
+    q_block: int = DEFAULT_Q_BLOCK,
+    k_block: int = DEFAULT_K_BLOCK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, S, C = q.shape
+    Skv = k.shape[1]
+    hd = C // heads
+    hk = hd + 8
+    assert S % q_block == 0 and Skv % k_block == 0
+    qt = jnp.swapaxes(q, 1, 2)  # (B, C, S)
+    kt = _aug_heads(k, heads, hd, axis_rows=False)  # (B, Skv, heads*hk)
+    vt = _aug_heads(v, heads, hd, axis_rows=True)   # (B, heads*hk, Skv)
+
+    kernel = functools.partial(
+        _flash_kernel_fullc_t, heads=heads, hd=hd, k_block=k_block, scale=scale)
+    ot = pl.pallas_call(
+        kernel,
+        grid=(B, S // q_block),
+        in_specs=[
+            pl.BlockSpec((1, C, q_block), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Skv, heads * hk), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, heads * hk, Skv), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, q_block), lambda b, i: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, S), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * S * Skv * C,
+            bytes_accessed=2 * B * (2 * S + 2 * Skv) * C,
+            transcendentals=B * heads * S * Skv,
+        ),
+        interpret=interpret,
+    )(qt, kt, vt)
+    return jnp.swapaxes(ot, 1, 2)
+
+
+# Route the big streamed-regime self-attention (the top-level 9216-token
+# shape) through the transposed kernel. Module flag so probes can A/B it.
+TRANSPOSED_FULLC = True
+
+
 def _cross_kernel_fullc(q_ref, k_ref, v_ref, o_ref, *, heads: int,
                         kv_len: int, scale: float):
     """Cross-attention over a SHORT key/value sequence (CLIP context, 257
@@ -529,6 +662,18 @@ def _flash(q, k, v, heads, q_block, k_block, interpret):
         # heads stay packed in the lane dim; the kernel slices each head's
         # lane range in VMEM (hd in {40, 80}: zero-padding each head to 128
         # lanes would materialize ~3x the tensor bytes in HBM first)
+        Cv = C + heads if _can_fuse_ones(C, heads) else C
+        resident_old = (_lane_padded_bytes(Skv, C) + _lane_padded_bytes(Skv, Cv)
+                        <= FULLC_RESIDENT_BYTES)
+        if (TRANSPOSED_FULLC and not resident_old
+                and S % q_block == 0 and Skv % k_block == 0):
+            # the streamed regime (top 9216-token level): the transposed
+            # kernel keeps augmented K/V resident under a raised VMEM cap
+            # and runs PV at full lane width (see _flash_kernel_fullc_t)
+            return flash_attention_fullc_t(
+                q, k, v, heads, scale, q_block=q_block, k_block=k_block,
+                interpret=interpret,
+            )
         return flash_attention_fullc(
             q, k, v, heads, scale, q_block=q_block, k_block=k_block,
             interpret=interpret,

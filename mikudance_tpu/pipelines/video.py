@@ -161,12 +161,41 @@ def decode_frames(
                     lambda c: vae_dec.apply(p, c / SD_LATENT_SCALE), zz
                 ),
                 mesh=mesh, in_specs=(P(), _SHARD_SPEC), out_specs=_SHARD_SPEC,
-               
+
             )
             out = local(dec_params, zg)
             return out.reshape((N,) + out.shape[2:])
+        if chunk % n == 0 and N >= chunk:
+            # headline case (e.g. one 16-frame chunk on 8 devices): shard the
+            # frames WITHIN each chunk — temporal convs halo-exchange across
+            # the shard boundaries and joint norms psum their moments, so the
+            # result matches the single-device decode (same math, not an
+            # approximation). Remainder frames (< one chunk) decode unsharded.
+            return _decode_frame_sharded(vae_dec, dec_params, latents, mesh)
         # temporal decoder with non-dividing chunk layout: exact > parallel
     return _decode_chunked(vae_dec, dec_params, latents)
+
+
+def _decode_frame_sharded(vae_dec, dec_params, latents, mesh: Mesh):
+    """Temporal-decoder chunks decoded with frames sharded over ALL mesh
+    devices (flattened to one 'frames' axis)."""
+    n = mesh.devices.size
+    chunk = getattr(vae_dec, "decode_chunk", 16)
+    N = latents.shape[0]
+    fmesh = Mesh(mesh.devices.reshape(-1), ("frames",))
+    dec_sh = vae_dec.clone(frame_axis="frames")
+    local = shard_map(
+        lambda p, zz: dec_sh.apply(p, zz / SD_LATENT_SCALE),
+        mesh=fmesh, in_specs=(P(), P("frames")), out_specs=P("frames"),
+    )
+    parts = []
+    for i in range(0, N - (N % chunk), chunk):
+        parts.append(local(dec_params, latents[i : i + chunk]))
+    if N % chunk:
+        parts.append(
+            _decode_chunked(vae_dec, dec_params, latents[N - (N % chunk) :])
+        )
+    return jnp.concatenate(parts, axis=0)
 
 
 def to_unit_float(x, signed: bool) -> jnp.ndarray:
@@ -198,13 +227,20 @@ def build_condition_stack(
     return jnp.concatenate([ref, skel, pose_latents, face_latents, hand_latents], axis=-1)
 
 
-def choose_bank_group(num_windows: int, window_len: int, budget_positions: int) -> int:
+def choose_bank_group(num_windows: int, window_len: int, budget_positions: int,
+                      n_shards: int = 1) -> Optional[int]:
     """Largest divisor g of num_windows with g*window_len <= budget (min 1):
-    the window-group size for per-step bank recomputation."""
-    best = 1
+    the window-group size for per-step bank recomputation. With ``n_shards``
+    the group count must also split evenly over the shards ((nw/g) % n == 0 —
+    each device scans the same number of groups); returns None when no such
+    g exists (caller falls back to single-device streaming)."""
+    best = None
     for g in range(1, num_windows + 1):
-        if num_windows % g == 0 and g * window_len <= budget_positions:
+        if (num_windows % g == 0 and g * window_len <= budget_positions
+                and (num_windows // g) % n_shards == 0):
             best = g
+    if n_shards == 1 and best is None:
+        best = 1  # a single over-budget window group: stream window-by-window
     return best
 
 
@@ -261,7 +297,7 @@ class VideoPipeline:
         )
         self._denoise_streamed_jit = jax.jit(
             self._denoise_streamed,
-            static_argnames=("num_windows", "window_len", "group"),
+            static_argnames=("num_windows", "window_len", "group", "mesh"),
         )
         self._encode_jit = jax.jit(
             partial(encode_frames, self.bundle.vae_enc), static_argnames=("chunk", "mesh")
@@ -426,6 +462,7 @@ class VideoPipeline:
         num_windows: int,
         window_len: int,
         group: int,
+        mesh: Optional[Mesh] = None,
     ) -> jnp.ndarray:
         """Long-video denoise: banks recomputed per step in window groups.
 
@@ -437,6 +474,12 @@ class VideoPipeline:
         behavior (`pipeline_mikudance.py:647-653` recomputes banks per
         window x step; this costs the same extra guidance-UNet work the
         reference always pays, and only kicks in past the cached-mode budget).
+
+        With ``mesh``: the window GROUPS shard over the flattened device
+        grid — each device scans its own ngroups/n groups (banks stay
+        group-local, so per-device memory is unchanged) and the per-step
+        window-fusion sums psum before the shared DDIM update, which every
+        device computes identically on the replicated latents.
         """
         nw, wf = num_windows, window_len
         T = noise.shape[0]
@@ -456,56 +499,92 @@ class VideoPipeline:
         ).astype(cdtype)
         do_cfg = guidance_scale
 
-        def step_fn(latents, t_pair):
-            t, t_prev = t_pair
-            # Tie the condition stack to the scan carry: the bank computation
-            # is loop-invariant, and XLA's while-loop invariant code motion
-            # would otherwise hoist it out of the scan and materialize ALL
-            # banks again — exactly what this path exists to avoid.
-            cond_tied, motion_tied, lat = jax.lax.optimization_barrier(
-                (cond20, motion, latents)
+        def denoise_all(gp, dp, win_g_l, gctx_g_l, cond_a, motion_a, noise_a,
+                        ctx2_a, counts_a, ts_a, prev_ts_a, scale_a, axis=None):
+            def step_fn(latents, t_pair):
+                t, t_prev = t_pair
+                # Tie the condition stack to the scan carry: the bank
+                # computation is loop-invariant, and XLA's while-loop
+                # invariant code motion would otherwise hoist it out of the
+                # scan and materialize ALL banks again — exactly what this
+                # path exists to avoid.
+                cond_tied, motion_tied, lat = jax.lax.optimization_barrier(
+                    (cond_a, motion_a, latents)
+                )
+
+                def group_fn(carry, ginp):
+                    sum_u, sum_c = carry
+                    w_g, gctx = ginp  # (group, wf), (group*wf, S, 768)
+                    flat = w_g.reshape(-1)
+                    t0 = jnp.zeros((group * wf,), jnp.int32)
+                    banks = self.bundle.guide.apply(
+                        gp,
+                        cond_tied[flat].astype(gdtype),
+                        motion_tied[flat].astype(gdtype),
+                        t0,
+                        gctx.astype(gdtype),
+                    )
+                    banks2 = {
+                        k: jnp.concatenate([jnp.zeros_like(v), v], axis=0)
+                        for k, v in banks.items()
+                    }
+                    win = lat[w_g]  # (group, wf, h, w, 4)
+                    batch = jnp.concatenate([win, win], axis=0).astype(cdtype)
+                    t_b = jnp.full((2 * group,), t, jnp.int32)
+                    pred = self.bundle.den.apply(
+                        dp, batch, t_b, ctx2_a, banks2
+                    ).astype(jnp.float32)
+                    pu, pc = pred[:group], pred[group:]
+                    sum_u = sum_u + jax.ops.segment_sum(
+                        pu.reshape((group * wf,) + pu.shape[2:]), flat,
+                        num_segments=T,
+                    )
+                    sum_c = sum_c + jax.ops.segment_sum(
+                        pc.reshape((group * wf,) + pc.shape[2:]), flat,
+                        num_segments=T,
+                    )
+                    return (sum_u, sum_c), None
+
+                zero = jnp.zeros_like(lat)
+                if axis is not None:
+                    # the scan's inputs vary over the group-shard axis, so its
+                    # carry must be marked varying too (shard_map vma check)
+                    zero = jax.lax.pvary(zero, (axis,))
+                (sum_u, sum_c), _ = jax.lax.scan(
+                    group_fn, (zero, zero), (win_g_l, gctx_g_l)
+                )
+                if axis is not None:
+                    sum_u = jax.lax.psum(sum_u, axis)
+                    sum_c = jax.lax.psum(sum_c, axis)
+                return (
+                    self._fused_cfg_step(
+                        sum_u, sum_c, counts_a, scale_a, t, t_prev, lat
+                    ),
+                    None,
+                )
+
+            latents, _ = jax.lax.scan(
+                step_fn, noise_a.astype(jnp.float32), (ts_a, prev_ts_a)
             )
+            return latents
 
-            def group_fn(carry, ginp):
-                sum_u, sum_c = carry
-                w_g, gctx = ginp  # (group, wf), (group*wf, S, 768)
-                flat = w_g.reshape(-1)
-                t0 = jnp.zeros((group * wf,), jnp.int32)
-                banks = self.bundle.guide.apply(
-                    guide_params,
-                    cond_tied[flat].astype(gdtype),
-                    motion_tied[flat].astype(gdtype),
-                    t0,
-                    gctx.astype(gdtype),
-                )
-                banks2 = {
-                    k: jnp.concatenate([jnp.zeros_like(v), v], axis=0)
-                    for k, v in banks.items()
-                }
-                win = lat[w_g]  # (group, wf, h, w, 4)
-                batch = jnp.concatenate([win, win], axis=0).astype(cdtype)
-                t_b = jnp.full((2 * group,), t, jnp.int32)
-                pred = self.bundle.den.apply(
-                    den_params, batch, t_b, ctx2, banks2
-                ).astype(jnp.float32)
-                pu, pc = pred[:group], pred[group:]
-                sum_u = sum_u + jax.ops.segment_sum(
-                    pu.reshape((group * wf,) + pu.shape[2:]), flat, num_segments=T
-                )
-                sum_c = sum_c + jax.ops.segment_sum(
-                    pc.reshape((group * wf,) + pc.shape[2:]), flat, num_segments=T
-                )
-                return (sum_u, sum_c), None
-
-            zero = jnp.zeros_like(lat)
-            (sum_u, sum_c), _ = jax.lax.scan(group_fn, (zero, zero), (win_g, gctx_g))
-            return (
-                self._fused_cfg_step(sum_u, sum_c, counts, do_cfg, t, t_prev, lat),
-                None,
+        if mesh is None:
+            return denoise_all(
+                guide_params, den_params, win_g, gctx_g, cond20, motion,
+                noise, ctx2, counts, ts, prev_ts, do_cfg,
             )
-
-        latents, _ = jax.lax.scan(step_fn, noise.astype(jnp.float32), (ts, prev_ts))
-        return latents
+        gmesh = Mesh(mesh.devices.reshape(-1), ("wgrp",))
+        rep = (P(),) * 2
+        fn = shard_map(
+            partial(denoise_all, axis="wgrp"),
+            mesh=gmesh,
+            in_specs=rep + (P("wgrp"), P("wgrp")) + (P(),) * 8,
+            out_specs=P(),
+        )
+        return fn(
+            guide_params, den_params, win_g, gctx_g, cond20, motion, noise,
+            ctx2, counts, ts, prev_ts, do_cfg,
+        )
 
     # ----------------------------------------------------------------- decode
     def _decode(
@@ -559,7 +638,25 @@ class VideoPipeline:
         guidance_scale: Optional[float] = None,
         decode: bool = True,
         to_host: bool = False,
+        timer=None,  # utils.profiling.Timer: per-phase wall times (syncs
+        # between phases, so pass None for clean end-to-end measurements)
     ) -> jnp.ndarray:
+        if timer is not None:
+            import time as _time
+
+            from ..utils.profiling import force as _force
+
+            _t0 = [_time.perf_counter()]
+
+            def mark(name, sync_val):
+                _force(sync_val)
+                now = _time.perf_counter()
+                timer.phases[name] = timer.phases.get(name, 0.0) + now - _t0[0]
+                _t0[0] = now
+        else:
+            def mark(name, sync_val):
+                pass
+
         cfgc = self.config
         steps = num_inference_steps or cfgc.num_inference_steps
         scale = cfgc.guidance_scale if guidance_scale is None else guidance_scale
@@ -596,7 +693,9 @@ class VideoPipeline:
                           signed=False),
         ]
         all_frames = jnp.concatenate(parts, axis=0)
+        mark("h2d_normalize", all_frames)
         lat = self._encode_jit(self.bundle.vae_enc_params, all_frames, mesh=mesh)
+        mark("vae_encode", lat)
         ref_l, skel_l = lat[0:1], lat[1:2]
         o = 2 + T
         pose_l = lat[2:o]
@@ -631,22 +730,29 @@ class VideoPipeline:
         per_step = cfgc.bank_mode == "per_step" or (
             cfgc.bank_mode == "auto" and nw * wf > budget
         )
+        stream_mesh = None
         if per_step and mesh is not None:
-            # SPMD bank streaming is not implemented: the denoise phase runs
-            # single-device streamed (encode/decode keep the mesh). The
-            # sharded cached budget is n_devices x larger, so this only
-            # triggers for videos too long even for the sharded cache —
-            # where fitting at all beats sharding.
-            print(
-                f"bank streaming: {nw * wf} positions exceed the sharded "
-                f"cache budget ({budget}); denoise runs single-device"
-            )
+            # SPMD bank streaming: window groups shard over the flattened
+            # device grid (banks stay group-local, so per-device memory is
+            # the single-device streaming footprint). Needs the group count
+            # to split evenly; otherwise fall back to single-device.
+            n_dev = mesh.devices.size
+            if choose_bank_group(nw, wf, cfgc.cached_bank_positions, n_dev):
+                stream_mesh = mesh
+            else:
+                print(
+                    f"bank streaming: {nw} windows cannot split into "
+                    f"{n_dev} equal group shards; denoise runs single-device"
+                )
 
         ts, prev_ts = inference_step_pairs(
             self.schedule, steps, spacing=cfgc.scheduler.timestep_spacing
         )
         if per_step:
-            group = choose_bank_group(nw, wf, cfgc.cached_bank_positions)
+            group = choose_bank_group(
+                nw, wf, cfgc.cached_bank_positions,
+                stream_mesh.devices.size if stream_mesh is not None else 1,
+            )
             latents = self._denoise_streamed_jit(
                 self.bundle.guide_params,
                 self.bundle.den_params,
@@ -663,7 +769,9 @@ class VideoPipeline:
                 num_windows=nw,
                 window_len=wf,
                 group=group,
+                mesh=stream_mesh,
             )
+            mark("denoise_streamed", latents)
         else:
             banks = self._banks_jit(
                 self.bundle.guide_params,
@@ -672,6 +780,7 @@ class VideoPipeline:
                 g_ctx,
                 mesh=mesh,
             )
+            mark("guidance_banks", banks)
             # 4. scan over DDIM steps
             latents = self._denoise_jit(
                 self.bundle.den_params,
@@ -687,6 +796,7 @@ class VideoPipeline:
                 window_len=wf,
                 mesh=mesh,
             )
+            mark("denoise", latents)
         # 5. optional latent frame-rate upsampling (`pipeline_mikudance.py:688`)
         if cfgc.interpolation_factor > 1:
             latents = self._interp_jit(
@@ -696,5 +806,9 @@ class VideoPipeline:
         if not decode:
             return latents
         if to_host and mesh is None:
-            return self.decode_to_host(latents)
-        return self._decode_jit(self.bundle.vae_dec_params, latents, mesh=mesh)
+            out = self.decode_to_host(latents)
+            mark("decode_d2h", out)
+            return out
+        out = self._decode_jit(self.bundle.vae_dec_params, latents, mesh=mesh)
+        mark("decode", out)
+        return out

@@ -213,3 +213,31 @@ def test_converter_accepts_stripped_time_conv_out_key(twins):
     a = params["params"]["time_conv_out"]["conv"]["kernel"]
     np.testing.assert_array_equal(np.asarray(a),
                                   stripped["time_conv_out"]["conv"]["kernel"])
+
+
+def test_frame_sharded_decode_matches_single_device(twins):
+    """VERDICT r2 item 5: one chunk's frames sharded over all 8 devices
+    (halo-exchanged temporal convs + psum'd joint norms) must reproduce the
+    single-device decode. 8 frames = one chunk on the 8-device mesh; 9 frames
+    exercise the unsharded remainder-chunk path."""
+    import jax
+    from mikudance_tpu.pipelines.video import SD_LATENT_SCALE, decode_frames
+    from jax.sharding import Mesh
+
+    tw, cfg, params = twins
+    rng = np.random.default_rng(7)
+    mesh = Mesh(np.array(jax.devices()), ("win",))  # any axis names: decode
+    # re-flattens the device grid into its own 'frames' axis
+    dec = TemporalDecoder(cfg).clone(decode_chunk=8)
+    for T in (8, 9):
+        z = (rng.normal(0, 1, (T, 4, 4, LATENT)).astype(np.float32)
+             * SD_LATENT_SCALE)
+        # oracle: the single-device CHUNKED decode (the shipping semantics —
+        # chunk boundaries are part of the numerical contract)
+        want = np.asarray(decode_frames(dec, params, jnp.asarray(z), mesh=None))
+        got = np.asarray(
+            jax.jit(
+                lambda p, zz: decode_frames(dec, p, zz, mesh=mesh),
+            )(params, jnp.asarray(z))
+        )
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
