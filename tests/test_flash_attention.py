@@ -221,3 +221,33 @@ def test_flash_non128_blocks_parity():
         flash_attention(q, k, v, heads, q_block=96, k_block=160, interpret=True)
     )
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_transposed_fullc_kernel_parity(monkeypatch):
+    """The transposed-PV resident kernel (the 9216-token fast path): force
+    its dispatch (FULLC_RESIDENT_BYTES=0 so the old resident path cannot
+    claim the shape) and check parity incl. the fused -off row / ones lane."""
+    import mikudance_tpu.kernels.flash_attention as fa
+
+    monkeypatch.setattr(fa, "FULLC_RESIDENT_BYTES", 0)
+    monkeypatch.setattr(fa, "TRANSPOSED_FULLC", True)
+    rng = np.random.default_rng(13)
+    B, S, heads, hd = 2, 512, 4, 40  # hd % 128 != 0 -> fullc family
+    C = heads * hd
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(B, S, C)), jnp.float32) for _ in range(3)
+    )
+    want = np.asarray(dot_product_attention(q, k, v, heads))
+    got = np.asarray(
+        flash_attention(q, k, v, heads, q_block=128, k_block=128, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.999
+
+    # extreme values: the anchor + two-sided clamp must keep rows finite
+    q30 = jnp.asarray(rng.normal(size=(B, S, C)) * 30, jnp.float32)
+    k30 = jnp.asarray(rng.normal(size=(B, S, C)) * 30, jnp.float32)
+    got30 = np.asarray(
+        flash_attention(q30, k30, v, heads, q_block=128, k_block=128, interpret=True)
+    )
+    assert np.isfinite(got30).all()
