@@ -27,6 +27,13 @@ from jax.experimental.pallas import tpu as pltpu
 from jax._src.pallas.core import Element
 
 
+# Route the UNet resnet convs through this kernel (models/resnet.py::conv3x3).
+# Off by default historically (piecewise routing measured slower than XLA's
+# epilogue-fused convs); the whole-loop row-major experiment flips it together
+# with group_norm.PREFER_PALLAS and layer_norm.PREFER_PALLAS.
+PREFER_PALLAS = False
+
+
 def conv3x3_ref(x, w, b):
     """XLA reference twin (CPU path and the custom-VJP backward)."""
     y = jax.lax.conv_general_dilated(

@@ -31,6 +31,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Route the transformer/motion LayerNorms through the Pallas kernel (see
+# models/layers.py::FusedLayerNorm). Off by default historically (piecewise
+# routing was layout whack-a-mole, see the module docstring); flipped by the
+# whole-loop row-major experiment together with conv2d/group_norm.
+PREFER_PALLAS = False
+
+
 def layer_norm_ref(x, scale, bias, eps: float):
     """XLA reference twin (non-TPU path and the exact backward)."""
     xf = x.astype(jnp.float32)

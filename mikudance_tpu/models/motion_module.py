@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .layers import Attention, FusedGroupNorm, GEGLUFeedForward
+from .layers import Attention, FusedGroupNorm, FusedLayerNorm, GEGLUFeedForward
 
 
 def temporal_positional_encoding(max_len: int, dim: int) -> np.ndarray:
@@ -122,8 +122,8 @@ class MotionModule(nn.Module):
 
         for b in range(self.num_transformer_blocks):
             for a in range(self.attention_layers):
-                normed = nn.LayerNorm(
-                    epsilon=1e-5, dtype=self.dtype, name=f"blocks_{b}_norm_{a}"
+                normed = FusedLayerNorm(
+                    1e-5, dtype=self.dtype, name=f"blocks_{b}_norm_{a}"
                 )(h)
                 h = h + TAL(
                     self.dim,
@@ -133,8 +133,8 @@ class MotionModule(nn.Module):
                     dtype=self.dtype,
                     name=f"blocks_{b}_attn_{a}",
                 )(normed)
-            ff_norm = nn.LayerNorm(
-                epsilon=1e-5, dtype=self.dtype, name=f"blocks_{b}_ff_norm"
+            ff_norm = FusedLayerNorm(
+                1e-5, dtype=self.dtype, name=f"blocks_{b}_ff_norm"
             )(h)
             h = h + FF(self.dim, dtype=self.dtype, name=f"blocks_{b}_ff")(
                 ff_norm

@@ -45,7 +45,12 @@ def conv3x3(features: int, dtype=jnp.float32, name: Optional[str] = None, stride
     # kernel (kernels/conv2d.py, ~70-93 TF/s but epilogues unfused): 28.9 s vs
     # 29.8 s on the headline bench — so the model path stays on nn.Conv and
     # FusedConv3x3 remains available for shapes where XLA's layout choices
-    # degrade (it forces row-major operands).
+    # degrade (it forces row-major operands). conv2d.PREFER_PALLAS flips the
+    # stride-1 convs onto the kernel (the whole-loop row-major experiment).
+    from ..kernels import conv2d as _conv2d
+
+    if stride == 1 and _conv2d.PREFER_PALLAS:
+        return FusedConv3x3(features, dtype, name=name)
     return nn.Conv(
         features,
         (3, 3),
