@@ -63,52 +63,205 @@ def build_bundle() -> ModelBundle:
     return ModelBundle(guide, gp, den, dp, enc, ep, dec, dcp)
 
 
-def main():
-    bundle = build_bundle()
-    cfg = PipelineConfig(
-        width=W, height=H, num_inference_steps=STEPS, guidance_scale=3.5,
-        context=ContextConfig(frames=30, overlap=8),
-    )
-    pipe = VideoPipeline(bundle, cfg)
+PEAK_BF16_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5e": 197.0, "TPU v4": 275.0,
+                    "TPU v6 lite": 918.0, "TPU v6e": 918.0}
 
-    rng = np.random.default_rng(0)
+
+def make_inputs(T, rng):
     # image streams ship as uint8 and normalize on device (to_unit_float):
     # the serving path's frames are uint8 media anyway, and fp32 H2D transfer
     # cost 9.3 s of the round-1 35.5 s run.
-    ref = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
-    skel = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
-    pose = rng.integers(0, 256, (T, H, W, 3), dtype=np.uint8)
-    face = np.zeros((T, H, W, 3), np.uint8)
-    hand = np.zeros((T, H, W, 3), np.uint8)
-    motion = np.zeros((T, h, w, 2), np.float32)
-    ctx = rng.normal(0, 1, (1, 257, 768)).astype(np.float32)
-    noise = rng.normal(0, 1, (T, h, w, 4)).astype(np.float32)
+    return (
+        rng.integers(0, 256, (H, W, 3), dtype=np.uint8),
+        rng.integers(0, 256, (H, W, 3), dtype=np.uint8),
+        rng.integers(0, 256, (T, H, W, 3), dtype=np.uint8),
+        np.zeros((T, H, W, 3), np.uint8),
+        np.zeros((T, H, W, 3), np.uint8),
+        np.zeros((T, h, w, 2), np.float32),
+        rng.normal(0, 1, (1, 257, 768)).astype(np.float32),
+        rng.normal(0, 1, (T, h, w, 4)).astype(np.float32),
+    )
 
+
+def denoise_flops(pipe) -> float:
+    """XLA-counted FLOPs of the captured denoise program (one full scan)."""
+    cap = {}
+    orig = pipe._denoise_jit, pipe._denoise_streamed_jit
+
+    def grab_cached(*a, **kw):
+        cap["args"], cap["kw"], cap["which"] = a, kw, 0
+        return orig[0](*a, **kw)
+
+    def grab_streamed(*a, **kw):
+        cap["args"], cap["kw"], cap["which"] = a, kw, 1
+        return orig[1](*a, **kw)
+
+    return grab_cached, grab_streamed, cap, orig
+
+
+def measure(pipe, inputs, iters=3):
     def run():
         # to_host=True: decode chunks pipeline their D2H copies under the next
         # chunk's compute (the serial fetch left the slow link idle)
-        video = pipe(ref, skel, pose, face, hand, motion, ctx, noise, to_host=True)
+        video = pipe(*inputs, to_host=True)
         return np.asarray(video)  # already host-side; asarray is a no-op
 
-    run()  # warmup / compile
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = run()
-        times.append(time.perf_counter() - t0)
-    sec = float(np.median(times))
+    out = run()  # warmup / compile
     assert np.isfinite(out).all()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
 
-    print(
-        json.dumps(
-            {
-                "metric": METRIC,
-                "value": round(sec, 3),
-                "unit": "s",
-                "vs_baseline": round(8.0 / sec, 3),
-            }
+
+def pallas_attention_flops(T_frames: int, steps: int) -> float:
+    """FLOPs of the denoise scan's Pallas attention custom calls — XLA's
+    cost_analysis does not see inside custom calls, so these are added
+    analytically. Mirrors the kernel dispatch (`kernels.flash_attention`):
+    self-attention runs Pallas at the >=1024-token UNet levels (9216 and 2304
+    at 768^2); the 576/144-token levels, cross-attention (257 CLIP tokens)
+    and the guidance UNet outside the scan are XLA ops cost_analysis counts.
+    The motion modules' temporal kernel is counted too (small)."""
+    from mikudance_tpu.kernels.flash_attention import _use_flash
+    from mikudance_tpu.pipelines import context as ctx_sched
+
+    cfg_ch = (320, 640, 1280, 1280)
+    heads_levels = [(h * w, cfg_ch[0]), (h * w // 4, cfg_ch[1]),
+                    (h * w // 16, cfg_ch[2])]
+    windows = ctx_sched.window_matrix(T_frames, 30, 1, 8)
+    nw, wf = windows.shape
+    B = 2 * nw * wf  # CFG x windows x frames, frame-folded
+    per_step = 0.0
+    for S, C in heads_levels:
+        if _use_flash(S, S):
+            n_layers = 5  # 2 down + 3 up at each attention level
+            per_step += n_layers * 4.0 * B * S * S * C
+    # temporal attention (B=2nw, P positions, T=wf frames) at every level
+    # incl. mid: layers x 4*B*P*T^2*C
+    for S, C, n in [(h * w, cfg_ch[0], 10), (h * w // 4, cfg_ch[1], 10),
+                    (h * w // 16, cfg_ch[2], 10), (h * w // 64, cfg_ch[3], 7)]:
+        per_step += n * 4.0 * (2 * nw) * S * wf * wf * C
+    return per_step * steps
+
+
+def phase_and_mfu(pipe, inputs):
+    """One instrumented pass: per-phase seconds + denoise MFU. FLOPs = the
+    XLA-counted FLOPs of the exact compiled denoise program + the analytic
+    FLOPs of its Pallas attention custom calls (invisible to cost_analysis).
+
+    Phase seconds each include one host sync (a scalar fetch through the
+    axon tunnel, ~0.2-0.3 s), so the phase SUM exceeds the clean end-to-end
+    number; read them as a breakdown, not as additive truth."""
+    from mikudance_tpu.utils.profiling import Timer
+
+    grab_cached, grab_streamed, cap, orig = denoise_flops(pipe)
+    pipe._denoise_jit, pipe._denoise_streamed_jit = grab_cached, grab_streamed
+    try:
+        timer = Timer()
+        np.asarray(pipe(*inputs, to_host=True, timer=timer))
+    finally:
+        pipe._denoise_jit, pipe._denoise_streamed_jit = orig
+
+    mfu = tfs = None
+    den_key = "denoise" if "denoise" in timer.phases else "denoise_streamed"
+    try:
+        jf = orig[cap["which"]]
+        cost = jf.lower(*cap["args"], **cap["kw"]).compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0))
+        T_frames = inputs[2].shape[0]
+        flops += pallas_attention_flops(T_frames, pipe.config.num_inference_steps)
+        dk = jax.devices()[0].device_kind
+        peak = PEAK_BF16_TFLOPS.get(dk)
+        dt = timer.phases.get(den_key)
+        if flops and dt:
+            tfs = flops / dt / 1e12
+            mfu = tfs / peak if peak else None
+    except Exception:
+        pass
+    phases = {k: round(v, 3) for k, v in timer.phases.items()}
+    return phases, tfs, mfu
+
+
+def main():
+    bundle = build_bundle()
+
+    def build_pipe(steps=STEPS):
+        cfg = PipelineConfig(
+            width=W, height=H, num_inference_steps=steps, guidance_scale=3.5,
+            context=ContextConfig(frames=30, overlap=8),
         )
+        return VideoPipeline(bundle, cfg)
+
+    rng = np.random.default_rng(0)
+    results = []
+
+    # --- headline FIRST (nothing may jeopardize it), printed LAST (the
+    # driver parses the final JSON line) ---
+    pipe = build_pipe()
+    inputs = make_inputs(T, rng)
+    sec = measure(pipe, inputs, iters=3)
+    try:
+        phases, tfs, mfu = phase_and_mfu(pipe, inputs)
+    except Exception as e:
+        phases, tfs, mfu = {"error": f"{type(e).__name__}: {e}"}, None, None
+    headline = {
+        "metric": METRIC,
+        "value": round(sec, 3),
+        "unit": "s",
+        "vs_baseline": round(8.0 / sec, 3),
+        "phases_s": phases,
+        "denoise_tflops_per_s": round(tfs, 1) if tfs else None,
+        "denoise_mfu_bf16": round(mfu, 3) if mfu else None,
+    }
+    # safety print: if a secondary bench hard-crashes the TPU worker, the
+    # last JSON line on stdout is still the (already measured) headline
+    print(json.dumps(headline), flush=True)
+
+    # --- secondary: long video, multi-window fusion (T=64 > context 30,
+    # cached banks -> the segment-sum window-fusion path) ---
+    import dataclasses as _dc
+
+    def secondary(metric, fn):
+        try:
+            results.append({"metric": metric, "value": round(fn(), 3),
+                            "unit": "s", "vs_baseline": None})
+        except Exception as e:
+            results.append({"metric": metric,
+                            "error": f"{type(e).__name__}: {e}"})
+
+    # T=40 -> 2 windows of 30 (the smallest multi-window case): all banks
+    # cached + both windows denoised in one batch. T=64 (3 windows, a 180-
+    # frame UNet batch + 4.7 GB of banks) exceeds one chip's 16 GB.
+    pipe_cached = VideoPipeline(
+        bundle,
+        _dc.replace(pipe.config, bank_mode="cached", cached_bank_positions=128),
     )
+    secondary(
+        "sec per 40-frame 768^2 clip, 20 DDIM steps, multi-window cached "
+        "fusion (1x v5e)",
+        lambda: measure(pipe_cached, make_inputs(40, rng), iters=1),
+    )
+
+    # --- secondary: streamed-bank mode (positions exceed the cache budget).
+    # budget 30 forces group=1 (one window's banks live at a time) — group=2
+    # (60 live positions + a 120-frame UNet batch) OOMs one chip at 768^2.
+    pipe_streamed = VideoPipeline(
+        bundle,
+        _dc.replace(pipe.config, bank_mode="per_step", cached_bank_positions=30),
+    )
+    secondary(
+        "sec per 160-frame 768^2 clip, 20 DDIM steps, streamed banks (1x v5e)",
+        lambda: measure(pipe_streamed, make_inputs(160, rng), iters=1),
+    )
+
+    results.append(headline)
+    with open("bench_results.json", "w") as f:
+        json.dump(results, f, indent=1)
+    for r in results[:-1]:
+        print(json.dumps(r))
+    print(json.dumps(headline))  # headline LAST: the driver parses this line
 
 
 def _require_device(timeout_s: float = 300.0):

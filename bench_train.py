@@ -81,9 +81,94 @@ def run_step(T: int):
     return float(np.median(times))
 
 
+def run_stage1_grad_step(bs: int):
+    """Stage-1 fwd+bwd (full ~1.7B trainable set) at the reference geometry
+    (768^2 single frames, `configs/train/train_stage1.yaml:1-19`).
+
+    MEMORY WALL (why this measures gradients, not a full Adam step): stage 1
+    trains BOTH UNets (~1.7B params). A standard fp32 Adam step needs
+    4 (master) + 4 (m) + 4 (v) = 12 bytes/param of optimizer-side state =
+    ~20.4 GB — more than one v5e chip's 16 GB HBM at ANY batch/resolution.
+    The shipping configuration ZeRO-shards that state over the data mesh
+    (core/mesh.py::zero_shard_state, >= 2 chips: ~10.2 GB/chip + bf16
+    params; validated on the 8-device CPU mesh in tests/test_zero_sharding.py
+    and the driver's dryrun). The on-chip-measurable part is the compute:
+    fwd+bwd over bf16 params with bf16 cotangents (3.4 GB params + 3.4 GB
+    grads + remat activations). The Adam update itself is elementwise and
+    bandwidth-bound: ~28 GB of state traffic / chip-pair bandwidth adds
+    ~25 ms/step unsharded — noise next to the measured fwd+bwd seconds.
+    """
+    from mikudance_tpu.train.steps import diffusion_loss
+
+    rng = jax.random.PRNGKey(0)
+    H1 = W1 = 768
+    h1, w1 = H1 // 8, W1 // 8
+    guide = GuidanceUNet(GuidanceUNetConfig(use_man=False), dtype=DTYPE, remat=True)
+    from mikudance_tpu.core.configs import MotionModuleConfig
+    den = DenoisingUNet(
+        DenoisingUNetConfig(motion=MotionModuleConfig(enabled=False)),
+        dtype=DTYPE, remat=True,
+    )
+    gp = jax.jit(guide.init)(
+        rng, jnp.zeros((1, h1, w1, 20), DTYPE), jnp.zeros((1, h1, w1, 2), DTYPE),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 257, 768), DTYPE),
+    )
+    dp = jax.jit(den.init)(
+        rng, jnp.zeros((1, 1, h1, w1, 4), DTYPE), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 257, 768), DTYPE),
+    )
+    params = {"guide": gp["params"], "den": dp["params"]}
+    cfg = TrainConfig(trainable_substrings=None)  # stage 1 trains everything
+    schedule = DDIMSchedule.create(
+        beta_schedule="scaled_linear", prediction_type="v_prediction",
+        rescale_betas_zero_snr=True,
+    )
+
+    def gstep(p, batch, key):
+        def loss_fn(pp):
+            return diffusion_loss(cfg, schedule, guide, den, pp, batch, key)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        gn = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                          for g in jax.tree_util.tree_leaves(grads)))
+        return loss, gn
+
+    step = jax.jit(gstep)
+    rnp = np.random.default_rng(0)
+    batch = {
+        "latents": jnp.asarray(rnp.normal(size=(bs, 1, h1, w1, 4)), jnp.float32),
+        "cond20": jnp.asarray(rnp.normal(size=(bs, 1, h1, w1, 20)), jnp.float32),
+        "motion": jnp.zeros((bs, 1, h1, w1, 2), jnp.float32),
+        "clip_ctx": jnp.asarray(rnp.normal(size=(bs, 257, 768)), jnp.float32),
+        "uncond": jnp.zeros((bs,), jnp.float32),
+    }
+    loss, gn = step(params, batch, jax.random.PRNGKey(1))
+    float(loss)
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        loss, gn = step(params, batch, jax.random.PRNGKey(2 + i))
+        assert np.isfinite(float(loss)) and np.isfinite(float(gn))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
 def main():
     import subprocess
     import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "stage1":  # child mode
+        bs = int(sys.argv[2])
+        sec = run_stage1_grad_step(bs)
+        print(json.dumps({
+            "metric": f"sec per stage-1 fwd+bwd (768^2, bs{bs}, both UNets "
+                      "trainable, 1x v5e; full fp32 Adam state is 20.4 GB "
+                      "> one chip -> ZeRO-shards over the data mesh)",
+            "value": round(sec, 3),
+            "unit": "s",
+            "vs_baseline": None,
+        }))
+        return
 
     if len(sys.argv) > 1:  # child mode: one geometry, clean device state
         T = int(sys.argv[1])
@@ -103,6 +188,7 @@ def main():
     # of rematerialized activations (memory_analysis: temp 6.54 GB at T=10,
     # peak 15.5 GB), so 14/20-frame attempts only waste their ~20-min remote
     # compiles before the inevitable runtime OOM.
+    done_stage2 = False
     for T in (10, 6, 4):
         r = subprocess.run(
             [sys.executable, __file__, str(T)], capture_output=True, text=True,
@@ -111,10 +197,29 @@ def main():
         for line in r.stdout.splitlines():
             if line.startswith("{"):
                 print(line)
-                return
+                done_stage2 = True
+                break
+        if done_stage2:
+            break
         sys.stderr.write(f"[bench_train] {T} frames failed "
                          f"(rc={r.returncode}): {r.stderr.strip()[-400:]}\n")
-    raise SystemExit("no clip length fit")
+    if not done_stage2:
+        raise SystemExit("no stage-2 clip length fit")
+
+    # stage-1: fwd+bwd over the full trainable set (see run_stage1_grad_step's
+    # memory-wall note for why the optimizer update is measured analytically)
+    for bs in (4, 2, 1):
+        r = subprocess.run(
+            [sys.executable, __file__, "stage1", str(bs)], capture_output=True,
+            text=True, timeout=1700,
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return
+        sys.stderr.write(f"[bench_train] stage-1 bs{bs} failed "
+                         f"(rc={r.returncode}): {r.stderr.strip()[-400:]}\n")
+    raise SystemExit("no stage-1 batch size fit")
 
 
 if __name__ == "__main__":

@@ -158,6 +158,10 @@ class PipelineConfig:
     # mesh size when sharded), else per_step.
     bank_mode: str = "auto"  # "auto" | "cached" | "per_step"
     cached_bank_positions: int = 64
+    # per-UNet-call frame cap for the grouped denoise paths (a 768^2
+    # full-window batch materializes multi-GB GEGLU intermediates; past this
+    # many (window, frame) positions the denoiser scans window groups)
+    max_denoise_frame_batch: int = 32
 
 
 SD15_UNET = UNetConfig()

@@ -443,7 +443,7 @@ class VideoPipeline:
         latents, _ = jax.lax.scan(step_fn, noise.astype(jnp.float32), (ts, prev_ts))
         return latents
 
-    # ------------------------------------------------------ denoise (streamed)
+    # ------------------------------------------------------ denoise (grouped)
     def _denoise_streamed(
         self,
         guide_params,
@@ -458,22 +458,31 @@ class VideoPipeline:
         ts: jnp.ndarray,
         prev_ts: jnp.ndarray,
         guidance_scale: jnp.ndarray,
+        banks_cached=None,  # dict of (ngroups, group*wf, S, C): precomputed
+        # banks per group (the cached-grouped mode); None -> recompute per step
         *,
         num_windows: int,
         window_len: int,
         group: int,
         mesh: Optional[Mesh] = None,
     ) -> jnp.ndarray:
-        """Long-video denoise: banks recomputed per step in window groups.
+        """Long-video denoise: the UNet runs over window GROUPS (an inner
+        scan), never over all windows at once — a 768^2 full-window batch
+        materializes multi-GB GEGLU intermediates and cannot fit one chip
+        past ~1 window. Two bank modes share the loop:
 
-        The cached path materializes every (window, position) bank for the
-        whole scan — ~52 MB/position at 768^2 bf16 with the CFG zero half, so
-        a 300-frame video (~420 positions) needs ~44 GB and cannot fit one
-        chip. Here only ONE group's banks are ever live: an inner scan over
-        window groups recomputes them each step — the reference's own memory
-        behavior (`pipeline_mikudance.py:647-653` recomputes banks per
-        window x step; this costs the same extra guidance-UNet work the
-        reference always pays, and only kicks in past the cached-mode budget).
+        - ``banks_cached`` given: banks were computed ONCE outside the scan
+          (the window count fits the bank budget but the UNet batch does
+          not — e.g. 40 frames / 2 windows at 768^2).
+        - ``banks_cached=None``: banks are recomputed per (step, group) — the
+          long-video mode where even storing all banks is impossible; this is
+          the reference's own memory behavior (`pipeline_mikudance.py:647-653`
+          recomputes banks per window x step).
+
+        CFG runs as two multiply-masked passes (banks * m, ctx * m for
+        m in {0, 1}) instead of a doubled batch: identical math (the uncond
+        half IS zero banks + zero CLIP context), half the activation
+        footprint, and no materialized zero-bank tensors.
 
         With ``mesh``: the window GROUPS shard over the flattened device
         grid — each device scans its own ngroups/n groups (banks stay
@@ -489,18 +498,17 @@ class VideoPipeline:
         win_g = jnp.asarray(windows).reshape(ngroups, group, wf)
         gctx_g = g_ctx.reshape((ngroups, group * wf) + g_ctx.shape[1:])
 
-        ctx_u = jnp.zeros_like(ctx_cond)
-        ctx2 = jnp.concatenate(
-            [
-                jnp.broadcast_to(ctx_u, (group,) + ctx_cond.shape[1:]),
-                jnp.broadcast_to(ctx_cond, (group,) + ctx_cond.shape[1:]),
-            ],
-            axis=0,
+        ctx_b = jnp.broadcast_to(
+            ctx_cond, (group,) + ctx_cond.shape[1:]
         ).astype(cdtype)
         do_cfg = guidance_scale
+        recompute = banks_cached is None
+        if not recompute:
+            banks_g = banks_cached
 
-        def denoise_all(gp, dp, win_g_l, gctx_g_l, cond_a, motion_a, noise_a,
-                        ctx2_a, counts_a, ts_a, prev_ts_a, scale_a, axis=None):
+        def denoise_all(gp, dp, win_g_l, gctx_g_l, banks_g_l, cond_a, motion_a,
+                        noise_a, ctx_a, counts_a, ts_a, prev_ts_a, scale_a,
+                        axis=None):
             def step_fn(latents, t_pair):
                 t, t_prev = t_pair
                 # Tie the condition stack to the scan carry: the bank
@@ -514,27 +522,35 @@ class VideoPipeline:
 
                 def group_fn(carry, ginp):
                     sum_u, sum_c = carry
-                    w_g, gctx = ginp  # (group, wf), (group*wf, S, 768)
+                    if recompute:
+                        w_g, gctx = ginp  # (group, wf), (group*wf, S, 768)
+                    else:
+                        w_g, banks = ginp
                     flat = w_g.reshape(-1)
-                    t0 = jnp.zeros((group * wf,), jnp.int32)
-                    banks = self.bundle.guide.apply(
-                        gp,
-                        cond_tied[flat].astype(gdtype),
-                        motion_tied[flat].astype(gdtype),
-                        t0,
-                        gctx.astype(gdtype),
-                    )
-                    banks2 = {
-                        k: jnp.concatenate([jnp.zeros_like(v), v], axis=0)
-                        for k, v in banks.items()
-                    }
-                    win = lat[w_g]  # (group, wf, h, w, 4)
-                    batch = jnp.concatenate([win, win], axis=0).astype(cdtype)
-                    t_b = jnp.full((2 * group,), t, jnp.int32)
-                    pred = self.bundle.den.apply(
-                        dp, batch, t_b, ctx2_a, banks2
-                    ).astype(jnp.float32)
-                    pu, pc = pred[:group], pred[group:]
+                    if recompute:
+                        t0 = jnp.zeros((group * wf,), jnp.int32)
+                        banks = self.bundle.guide.apply(
+                            gp,
+                            cond_tied[flat].astype(gdtype),
+                            motion_tied[flat].astype(gdtype),
+                            t0,
+                            gctx.astype(gdtype),
+                        )
+                    win = lat[w_g].astype(cdtype)  # (group, wf, h, w, 4)
+                    t_b = jnp.full((group,), t, jnp.int32)
+
+                    def half(m):
+                        # CFG as masked passes: uncond IS zero banks + zero
+                        # CLIP context (no doubled batch, no zero tensors)
+                        banks_h = {
+                            k: v * jnp.asarray(m, v.dtype)
+                            for k, v in banks.items()
+                        }
+                        return self.bundle.den.apply(
+                            dp, win, t_b, ctx_a * m, banks_h
+                        ).astype(jnp.float32)
+
+                    pu, pc = half(0.0), half(1.0)
                     sum_u = sum_u + jax.ops.segment_sum(
                         pu.reshape((group * wf,) + pu.shape[2:]), flat,
                         num_segments=T,
@@ -550,9 +566,8 @@ class VideoPipeline:
                     # the scan's inputs vary over the group-shard axis, so its
                     # carry must be marked varying too (shard_map vma check)
                     zero = jax.lax.pvary(zero, (axis,))
-                (sum_u, sum_c), _ = jax.lax.scan(
-                    group_fn, (zero, zero), (win_g_l, gctx_g_l)
-                )
+                xs = (win_g_l, gctx_g_l if recompute else banks_g_l)
+                (sum_u, sum_c), _ = jax.lax.scan(group_fn, (zero, zero), xs)
                 if axis is not None:
                     sum_u = jax.lax.psum(sum_u, axis)
                     sum_c = jax.lax.psum(sum_c, axis)
@@ -570,20 +585,23 @@ class VideoPipeline:
 
         if mesh is None:
             return denoise_all(
-                guide_params, den_params, win_g, gctx_g, cond20, motion,
-                noise, ctx2, counts, ts, prev_ts, do_cfg,
+                guide_params, den_params, win_g, gctx_g,
+                None if recompute else banks_g, cond20, motion,
+                noise, ctx_b, counts, ts, prev_ts, do_cfg,
             )
         gmesh = Mesh(mesh.devices.reshape(-1), ("wgrp",))
         rep = (P(),) * 2
+        shard = (P("wgrp"), P("wgrp"), P("wgrp"))
         fn = shard_map(
             partial(denoise_all, axis="wgrp"),
             mesh=gmesh,
-            in_specs=rep + (P("wgrp"), P("wgrp")) + (P(),) * 8,
+            in_specs=rep + shard + (P(),) * 8,
             out_specs=P(),
         )
         return fn(
-            guide_params, den_params, win_g, gctx_g, cond20, motion, noise,
-            ctx2, counts, ts, prev_ts, do_cfg,
+            guide_params, den_params, win_g, gctx_g,
+            None if recompute else banks_g, cond20, motion, noise,
+            ctx_b, counts, ts, prev_ts, do_cfg,
         )
 
     # ----------------------------------------------------------------- decode
@@ -781,21 +799,53 @@ class VideoPipeline:
                 mesh=mesh,
             )
             mark("guidance_banks", banks)
-            # 4. scan over DDIM steps
-            latents = self._denoise_jit(
-                self.bundle.den_params,
-                jnp.asarray(noise),
-                banks,
-                ctx_cond,
-                jnp.asarray(windows),
-                counts,
-                jnp.asarray(ts),
-                jnp.asarray(prev_ts),
-                jnp.float32(scale),
-                num_windows=nw,
-                window_len=wf,
-                mesh=mesh,
-            )
+            if mesh is None and nw * wf > cfgc.max_denoise_frame_batch and nw > 1:
+                # cached-GROUPED: all banks fit, but one UNet batch over every
+                # window does not (e.g. 2x30 windows at 768^2) — scan window
+                # groups with the banks precomputed above. A mesh instead
+                # shards the full window batch over its devices.
+                group = choose_bank_group(
+                    nw, wf, cfgc.max_denoise_frame_batch
+                ) or 1
+                banks_g = {
+                    k: v.reshape((nw // group, group * wf) + v.shape[1:])
+                    for k, v in banks.items()
+                }
+                latents = self._denoise_streamed_jit(
+                    self.bundle.guide_params,
+                    self.bundle.den_params,
+                    jnp.asarray(noise),
+                    cond20,
+                    jnp.asarray(scene_motion),
+                    ctx_cond,
+                    g_ctx,
+                    jnp.asarray(windows),
+                    counts,
+                    jnp.asarray(ts),
+                    jnp.asarray(prev_ts),
+                    jnp.float32(scale),
+                    banks_g,
+                    num_windows=nw,
+                    window_len=wf,
+                    group=group,
+                    mesh=None,
+                )
+            else:
+                # 4. scan over DDIM steps
+                latents = self._denoise_jit(
+                    self.bundle.den_params,
+                    jnp.asarray(noise),
+                    banks,
+                    ctx_cond,
+                    jnp.asarray(windows),
+                    counts,
+                    jnp.asarray(ts),
+                    jnp.asarray(prev_ts),
+                    jnp.float32(scale),
+                    num_windows=nw,
+                    window_len=wf,
+                    mesh=mesh,
+                )
             mark("denoise", latents)
         # 5. optional latent frame-rate upsampling (`pipeline_mikudance.py:688`)
         if cfgc.interpolation_factor > 1:

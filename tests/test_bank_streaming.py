@@ -93,7 +93,10 @@ def test_streamed_equals_cached(bundle, mode):
             dataclasses.replace(base, bank_mode="per_step", cached_bank_positions=3),
         )(*inputs, decode=False)
     )
-    np.testing.assert_allclose(streamed, cached, atol=2e-5, rtol=1e-5)
+    # CFG runs as masked HALF-batches in the streamed path (video.py::half),
+    # so XLA tiles reductions differently than the doubled-batch cached
+    # program: tolerance covers that reduction-order drift
+    np.testing.assert_allclose(streamed, cached, atol=1e-4, rtol=1e-4)
 
 
 def test_auto_mode_picks_streaming_past_budget(bundle):
@@ -140,3 +143,21 @@ def test_choose_bank_group_sharded():
     assert choose_bank_group(6, 3, budget_positions=9, n_shards=3) == 2
     # no divisor yields a group count splitting over 4 shards
     assert choose_bank_group(6, 3, budget_positions=9, n_shards=4) is None
+
+
+def test_cached_grouped_equals_plain(bundle):
+    """Cached-GROUPED denoise (all banks precomputed, UNet scans window
+    groups with CFG as masked passes) == the plain all-windows batch."""
+    base = PipelineConfig(
+        width=W, height=H, num_inference_steps=2, guidance_scale=3.5,
+        context=ContextConfig(frames=3, overlap=1), guidance_clip_mode="cond",
+        bank_mode="cached",
+    )
+    inputs = _inputs()
+    plain = np.asarray(VideoPipeline(bundle, base)(*inputs, decode=False))
+    grouped = np.asarray(
+        VideoPipeline(
+            bundle, dataclasses.replace(base, max_denoise_frame_batch=6)
+        )(*inputs, decode=False)  # nw*wf = 18 > 6 -> groups of 2 windows
+    )
+    np.testing.assert_allclose(grouped, plain, atol=1e-4, rtol=1e-4)
