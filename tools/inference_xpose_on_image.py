@@ -34,6 +34,10 @@ def main():
     p.add_argument("--unipose_ckpt", default="./pretrained_weights/unipose_swint.pth")
     p.add_argument("--clip_dir", default="./pretrained_weights/clip-vit-base-patch32")
     p.add_argument(
+        "--model_config", default=None,
+        help="reference-style python model config with _base_ inheritance "
+             "(XPose config_model grammar); default = shipped SwinT geometry")
+    p.add_argument(
         "--instance", default="person",
         help="any of the 28 predefined categories or arbitrary free text "
              "(open-vocabulary; 'animal' keypoint set unless "
@@ -60,7 +64,8 @@ def main():
                 f"UniPose checkpoint not found at {args.unipose_ckpt} — see "
                 "tools/download_weights.py, or pass --synthetic_keypoints.")
         frames = resize_short_side([img])
-        det = Detector(args.unipose_ckpt, args.clip_dir, frames.shape[1:3])
+        det = Detector(args.unipose_ckpt, args.clip_dir, frames.shape[1:3],
+                       model_config=args.model_config)
         kpts = det.detect(frames, args.instance, names,
                           args.box_threshold, args.iou_threshold)[0]
         kpts = np.asarray(kpts).reshape(-1, len(names), 2)

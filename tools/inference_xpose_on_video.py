@@ -84,7 +84,8 @@ class Detector:
     N_TXT = 4
     K = 68
 
-    def __init__(self, unipose_ckpt: str, clip_dir: str, size_hw):
+    def __init__(self, unipose_ckpt: str, clip_dir: str, size_hw,
+                 model_config: str | None = None):
         import jax
         import jax.numpy as jnp
         import torch
@@ -106,7 +107,12 @@ class Detector:
 
         self.tokenizer = CLIPTokenizer.from_pretrained(clip_dir)
         self.text_model = CLIPTextEncoder()
-        self.model = UniPose()
+        if model_config:
+            from mikudance_tpu.toolbox.xpose_config import build_unipose_from_config
+
+            self.model = build_unipose_from_config(model_config)
+        else:
+            self.model = UniPose()  # shipped UniPose_SwinT geometry
         self.apply = jax.jit(self.model.apply)
         self.size_hw = size_hw
 
@@ -164,6 +170,11 @@ def main():
     p.add_argument("--unipose_ckpt", default="./pretrained_weights/unipose_swint.pth")
     p.add_argument("--clip_dir", default="./pretrained_weights/clip-vit-base-patch32")
     p.add_argument(
+        "--model_config", default=None,
+        help="reference-style python model config with _base_ inheritance "
+             "(XPose config_model/UniPose_SwinT.py grammar); default = the "
+             "shipped SwinT geometry")
+    p.add_argument(
         "--instance", default="all",
         help="'all' = the person/face/hand MikuDance conditioning trio; any "
              "of the 28 predefined categories (see toolbox.vocabularies.VOCAB)"
@@ -209,7 +220,8 @@ def main():
                 "tools/download_weights.py for sources, or pass "
                 "--synthetic_keypoints for the renderer-only smoke path.")
         imgs = resize_short_side(frames)
-        det = Detector(args.unipose_ckpt, args.clip_dir, imgs.shape[1:3])
+        det = Detector(args.unipose_ckpt, args.clip_dir, imgs.shape[1:3],
+                       model_config=args.model_config)
         dets = {}
         for vocab in wanted:
             names, _ = sel[vocab]
