@@ -700,24 +700,66 @@ class VideoPipeline:
         # stream that carries no signal (the reference encodes every black
         # frame, `pipeline_mikudance.py:505-549`).
         H_img, W_img = pose_frames.shape[1:3]
+
+        def _collapse_black(frames):
+            # A present-but-all-black uint8 stream IS the absent-stream
+            # fallback (the reference CLI substitutes black frames for
+            # missing face/hand videos): collapse it to the 1-frame
+            # broadcast path — the VAE encode is deterministic per frame,
+            # so encoding one black frame and broadcasting its latent is
+            # EXACTLY the per-frame result, minus a T-frame transfer +
+            # encode of pure zeros. The host-side scan is ~ms on uint8.
+            if (isinstance(frames, np.ndarray) and frames.dtype == np.uint8
+                    and not frames.any()):
+                return None
+            return frames
+
+        face_frames = _collapse_black(face_frames)
+        hand_frames = _collapse_black(hand_frames)
+
         black = np.zeros((1, H_img, W_img, 3), np.uint8)
-        parts = [
-            to_unit_float(ref_image, signed=True)[None],
-            to_unit_float(ref_skel, signed=False)[None],
-            to_unit_float(pose_frames, signed=False),
-            to_unit_float(black if face_frames is None else face_frames,
-                          signed=False),
-            to_unit_float(black if hand_frames is None else hand_frames,
-                          signed=False),
+
+        def _np4(x):  # host arrays to (n, H, W, 3); device arrays untouched
+            if isinstance(x, np.ndarray):
+                return x[None] if x.ndim == 3 else x
+            return x
+
+        raw = [
+            _np4(ref_image),
+            _np4(ref_skel),
+            pose_frames,
+            black if face_frames is None else face_frames,
+            black if hand_frames is None else hand_frames,
         ]
-        all_frames = jnp.concatenate(parts, axis=0)
+        if all(isinstance(p, np.ndarray) and p.dtype == np.uint8 for p in raw):
+            # ONE stacked H2D transfer: the axon link charges a high
+            # per-transfer latency (~0.2-0.3 s each), so five stream-wise
+            # transfers cost more than one memcpy'd concat. Normalization
+            # happens on device (to_unit_float contract): row 0 is the ref
+            # image ([-1, 1]); everything after is a [0, 1] condition stream.
+            stacked = jnp.asarray(np.concatenate(raw, axis=0))
+            f = stacked.astype(jnp.float32)
+            all_frames = jnp.concatenate([f[:1] / 127.5 - 1.0, f[1:] / 255.0], 0)
+        else:
+            parts = [
+                to_unit_float(ref_image, signed=True).reshape(
+                    (1, H_img, W_img, 3)),
+                to_unit_float(ref_skel, signed=False).reshape(
+                    (1, H_img, W_img, 3)),
+                to_unit_float(pose_frames, signed=False),
+                to_unit_float(black if face_frames is None else face_frames,
+                              signed=False),
+                to_unit_float(black if hand_frames is None else hand_frames,
+                              signed=False),
+            ]
+            all_frames = jnp.concatenate(parts, axis=0)
         mark("h2d_normalize", all_frames)
         lat = self._encode_jit(self.bundle.vae_enc_params, all_frames, mesh=mesh)
         mark("vae_encode", lat)
         ref_l, skel_l = lat[0:1], lat[1:2]
         o = 2 + T
         pose_l = lat[2:o]
-        n_face = parts[3].shape[0]
+        n_face = raw[3].shape[0]
         face_l = lat[o : o + n_face]
         hand_l = lat[o + n_face :]
         if n_face == 1:

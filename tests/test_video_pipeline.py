@@ -98,6 +98,32 @@ def test_absent_streams_equal_black_frames(pipe):
     np.testing.assert_array_equal(got, want)
 
 
+def test_uint8_single_transfer_path_matches_float(pipe):
+    """uint8 inputs ride ONE stacked H2D transfer with device-side
+    normalization, and all-black uint8 face/hand streams collapse to the
+    absent-stream broadcast — both must be bit-identical to the float path
+    (same IEEE divides, same black latent)."""
+    rng = np.random.default_rng(7)
+    ref_u = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+    skel_u = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+    pose_u = rng.integers(0, 256, (T, H, W, 3), dtype=np.uint8)
+    zeros_u = np.zeros((T, H, W, 3), np.uint8)
+    motion = rng.normal(0, 0.1, (T, h, w, 2)).astype(np.float32)
+    ctx = rng.normal(0, 1, (1, 5, 768)).astype(np.float32)
+    noise = rng.normal(0, 1, (T, h, w, 4)).astype(np.float32)
+
+    got = np.asarray(pipe(ref_u, skel_u, pose_u, zeros_u, zeros_u,
+                          motion, ctx, noise, decode=False))
+    want = np.asarray(pipe(
+        ref_u.astype(np.float32) / 127.5 - 1.0,
+        skel_u.astype(np.float32) / 255.0,
+        pose_u.astype(np.float32) / 255.0,
+        np.zeros((T, H, W, 3), np.float32),
+        np.zeros((T, H, W, 3), np.float32),
+        motion, ctx, noise, decode=False))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pipeline_matches_reference_style_loop(pipe):
     """Batched/scanned pipeline == naive per-window per-step loop."""
     ref, skel, pose, face, hand, motion, ctx, noise = _inputs(1)
