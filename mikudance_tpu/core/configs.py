@@ -162,6 +162,17 @@ class PipelineConfig:
     # full-window batch materializes multi-GB GEGLU intermediates; past this
     # many (window, frame) positions the denoiser scans window groups)
     max_denoise_frame_batch: int = 32
+    # Cap on denoiser-UNet frame-passes dispatched in ONE XLA execution of
+    # the grouped denoise (one DDIM step costs 2*nw*wf frame-passes: CFG
+    # halves x windows x window length). Long videos otherwise put the WHOLE
+    # 20-step scan in a single multi-minute device program — which a serving
+    # runtime should never do (no progress/cancellation/preemption point, and
+    # the axon TPU worker hard-crashes past ~1 min single-execution). The
+    # pipeline slices the step scan into host-dispatched chunks under this
+    # budget: identical math (the DDIM recursion is sequential either way),
+    # one compile (chunks are equal-length slices of the same program).
+    # 640 frame-passes ~ 20 s on one v5e at 768^2. 0 disables chunking.
+    max_exec_frame_passes: int = 640
 
 
 SD15_UNET = UNetConfig()

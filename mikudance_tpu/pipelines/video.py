@@ -504,7 +504,14 @@ class VideoPipeline:
         do_cfg = guidance_scale
         recompute = banks_cached is None
         if not recompute:
-            banks_g = banks_cached
+            # banks arrive FLAT (nw*wf, S, C) and reshape here, inside jit:
+            # a host-side reshape of a concrete device array materializes a
+            # second ~GB-scale copy that then lives through decode (observed
+            # OOMing the 16 GB chip at T=40); in-trace it fuses away.
+            banks_g = {
+                k: v.reshape((ngroups, group * wf) + v.shape[1:])
+                for k, v in banks_cached.items()
+            }
 
         def denoise_all(gp, dp, win_g_l, gctx_g_l, banks_g_l, cond_a, motion_a,
                         noise_a, ctx_a, counts_a, ts_a, prev_ts_a, scale_a,
@@ -603,6 +610,39 @@ class VideoPipeline:
             None if recompute else banks_g, cond20, motion, noise,
             ctx_b, counts, ts, prev_ts, do_cfg,
         )
+
+    # -------------------------------------------------- execution-size chunks
+    def _steps_per_exec(self, steps: int, nw: int, wf: int) -> int:
+        """How many DDIM steps one grouped-denoise XLA execution may cover
+        (`max_exec_frame_passes`): long videos are sliced into equal-length
+        host-dispatched step chunks so no single device program runs for
+        minutes (see the config comment). Returns a divisor of ``steps`` so
+        every chunk reuses ONE compiled program."""
+        budget = self.config.max_exec_frame_passes
+        if not budget:
+            return steps
+        k_raw = max(1, budget // (2 * nw * wf))
+        if k_raw >= steps:
+            return steps
+        for k in range(k_raw, 0, -1):
+            if steps % k == 0:
+                return k
+        return 1
+
+    def _denoise_streamed_chunked(
+        self, noise, ts, prev_ts, *, num_windows, window_len, call,
+    ):
+        """Host loop over step chunks; ``call(latents, ts_c, prev_ts_c)``
+        dispatches one chunk. The DDIM recursion is sequential over steps, so
+        chunk boundaries change nothing but the execution granularity; the
+        latents carry stays on device between chunks (no transfers)."""
+        steps = len(ts)
+        k = self._steps_per_exec(steps, num_windows, window_len)
+        lat = jnp.asarray(noise)
+        for i in range(0, steps, k):
+            lat = call(lat, jnp.asarray(ts[i : i + k]),
+                       jnp.asarray(prev_ts[i : i + k]))
+        return lat
 
     # ----------------------------------------------------------------- decode
     def _decode(
@@ -767,6 +807,9 @@ class VideoPipeline:
         if hand_l.shape[0] == 1:
             hand_l = jnp.broadcast_to(hand_l, (T,) + hand_l.shape[1:])
         cond20 = build_condition_stack(ref_l, skel_l, pose_l, face_l, hand_l)
+        # drop the fp32 pixel stack + raw latents: they otherwise stay alive
+        # (function locals) through denoise AND decode — ~0.7 GB at T=40
+        del all_frames, lat, ref_l, skel_l, pose_l, face_l, hand_l
 
         # 2. windows (static per T)
         windows = ctx_sched.window_matrix(
@@ -813,23 +856,26 @@ class VideoPipeline:
                 nw, wf, cfgc.cached_bank_positions,
                 stream_mesh.devices.size if stream_mesh is not None else 1,
             )
-            latents = self._denoise_streamed_jit(
-                self.bundle.guide_params,
-                self.bundle.den_params,
-                jnp.asarray(noise),
-                cond20,
-                jnp.asarray(scene_motion),
-                ctx_cond,
-                g_ctx,
-                jnp.asarray(windows),
-                counts,
-                jnp.asarray(ts),
-                jnp.asarray(prev_ts),
-                jnp.float32(scale),
-                num_windows=nw,
-                window_len=wf,
-                group=group,
-                mesh=stream_mesh,
+            latents = self._denoise_streamed_chunked(
+                noise, ts, prev_ts, num_windows=nw, window_len=wf,
+                call=lambda lat, ts_c, pts_c: self._denoise_streamed_jit(
+                    self.bundle.guide_params,
+                    self.bundle.den_params,
+                    lat,
+                    cond20,
+                    jnp.asarray(scene_motion),
+                    ctx_cond,
+                    g_ctx,
+                    jnp.asarray(windows),
+                    counts,
+                    ts_c,
+                    pts_c,
+                    jnp.float32(scale),
+                    num_windows=nw,
+                    window_len=wf,
+                    group=group,
+                    mesh=stream_mesh,
+                ),
             )
             mark("denoise_streamed", latents)
         else:
@@ -849,29 +895,29 @@ class VideoPipeline:
                 group = choose_bank_group(
                     nw, wf, cfgc.max_denoise_frame_batch
                 ) or 1
-                banks_g = {
-                    k: v.reshape((nw // group, group * wf) + v.shape[1:])
-                    for k, v in banks.items()
-                }
-                latents = self._denoise_streamed_jit(
-                    self.bundle.guide_params,
-                    self.bundle.den_params,
-                    jnp.asarray(noise),
-                    cond20,
-                    jnp.asarray(scene_motion),
-                    ctx_cond,
-                    g_ctx,
-                    jnp.asarray(windows),
-                    counts,
-                    jnp.asarray(ts),
-                    jnp.asarray(prev_ts),
-                    jnp.float32(scale),
-                    banks_g,
-                    num_windows=nw,
-                    window_len=wf,
-                    group=group,
-                    mesh=None,
+                latents = self._denoise_streamed_chunked(
+                    noise, ts, prev_ts, num_windows=nw, window_len=wf,
+                    call=lambda lat, ts_c, pts_c: self._denoise_streamed_jit(
+                        self.bundle.guide_params,
+                        self.bundle.den_params,
+                        lat,
+                        cond20,
+                        jnp.asarray(scene_motion),
+                        ctx_cond,
+                        g_ctx,
+                        jnp.asarray(windows),
+                        counts,
+                        ts_c,
+                        pts_c,
+                        jnp.float32(scale),
+                        banks,
+                        num_windows=nw,
+                        window_len=wf,
+                        group=group,
+                        mesh=None,
+                    ),
                 )
+                del banks  # free ~GBs of cached banks before decode runs
             else:
                 # 4. scan over DDIM steps
                 latents = self._denoise_jit(
@@ -888,6 +934,7 @@ class VideoPipeline:
                     window_len=wf,
                     mesh=mesh,
                 )
+                del banks
             mark("denoise", latents)
         # 5. optional latent frame-rate upsampling (`pipeline_mikudance.py:688`)
         if cfgc.interpolation_factor > 1:

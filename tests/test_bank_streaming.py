@@ -145,6 +145,48 @@ def test_choose_bank_group_sharded():
     assert choose_bank_group(6, 3, budget_positions=9, n_shards=4) is None
 
 
+def test_step_chunked_execution_equals_one_scan(bundle):
+    """`max_exec_frame_passes` slices the grouped-denoise step scan into
+    host-dispatched chunks (long videos must not run one multi-minute XLA
+    execution); the DDIM recursion is sequential either way, so chunked
+    (k=1 and k=2 per execution) must equal the single 4-step scan."""
+    base = PipelineConfig(
+        width=W, height=H, num_inference_steps=4, guidance_scale=3.5,
+        context=ContextConfig(frames=3, overlap=1), guidance_clip_mode="cond",
+        bank_mode="per_step", cached_bank_positions=3,
+    )
+    inputs = _inputs()
+    one_scan = np.asarray(VideoPipeline(bundle, base)(*inputs, decode=False))
+    # T=6 / 3-frame windows -> nw=6, wf=3 -> 36 frame-passes per step:
+    # budget 36 -> 1 step/execution; budget 72 -> 2 steps/execution
+    for budget in (36, 72):
+        chunked = np.asarray(
+            VideoPipeline(
+                bundle, dataclasses.replace(base, max_exec_frame_passes=budget)
+            )(*inputs, decode=False)
+        )
+        np.testing.assert_allclose(chunked, one_scan, atol=2e-5, rtol=1e-5)
+
+
+def test_steps_per_exec():
+    from mikudance_tpu.pipelines.video import VideoPipeline as VP
+
+    class Dummy:
+        pass
+
+    def mk(budget):
+        d = Dummy()
+        d.config = dataclasses.replace(PipelineConfig(), max_exec_frame_passes=budget)
+        return d
+
+    spe = VP._steps_per_exec
+    assert spe(mk(640), 20, 1, 16) == 20     # headline geometry: one scan
+    assert spe(mk(640), 20, 2, 30) == 5      # T=40: 120 passes/step -> 5
+    assert spe(mk(640), 20, 7, 30) == 1      # T=160: 420 passes/step -> 1
+    assert spe(mk(0), 20, 7, 30) == 20       # disabled
+    assert spe(mk(100), 19, 2, 30) == 1      # prime steps: fall to 1
+
+
 def test_cached_grouped_equals_plain(bundle):
     """Cached-GROUPED denoise (all banks precomputed, UNet scans window
     groups with CFG as masked passes) == the plain all-windows batch."""
