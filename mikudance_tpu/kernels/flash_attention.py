@@ -482,9 +482,117 @@ def flash_attention_fullc_t(
     return jnp.swapaxes(ot, 1, 2)
 
 
+def _flash_kernel_fullc_nt(q_ref, k_ref, v_ref, o_ref, *, heads: int,
+                           hd: int, k_block: int, scale: float):
+    """Layout-NEUTRAL variant of the transposed-PV kernel: all refs are
+    standard (B, S, C) row-major; every transposition happens inside the
+    MXU via ``dot_general`` dimension numbers instead of HBM-side
+    ``swapaxes``/augment copies.
+
+    Why this exists: ``_flash_kernel_fullc_t`` takes pre-transposed
+    (B, C, S) operands, so its boundary ``swapaxes`` invite XLA to
+    propagate token-minor layouts through the surrounding LayerNorms and
+    Dense projections — the 9-TF/s "transposed projection dots" / layout
+    copies that cost ~100+ ms/step at 768^2 (xprof round 3). Here:
+
+    - QK: ``s_t = K_aug @ Q_aug^T`` (contract the lane dim of both) — the
+      rhs transpose is MXU-native; K's ones LANE x Q's ``-off`` lane folds
+      the softmax anchor in, exactly as in the _t kernel.
+    - PV: ``pv_t = V_aug^T @ P_t`` (contract the sublane dim of both) —
+      output lanes = q_block (full tiles), the _t kernel's PV win, with V
+      consumed in its standard (bk, hd) orientation; V's ones lane becomes
+      the denominator row of the output.
+    - The only explicit transpose is the (hd, qb) -> (qb, hd) accumulator
+      flip at the very end of each (head, q-block): a tiny fp32 tile.
+    """
+    qb = q_ref.shape[1]
+    kv_len = k_ref.shape[1]
+    n_blocks = kv_len // k_block
+
+    for h in range(heads):
+        lo = h * hd
+        q_raw = q_ref[0, :, lo : lo + hd]               # (qb, hd)
+        qf = q_raw.astype(jnp.float32) * (scale * LOG2E)
+        off = jnp.sum(qf * q_raw.astype(jnp.float32), axis=-1, keepdims=True)
+        q_aug = jnp.concatenate(
+            [qf.astype(jnp.bfloat16), (-off).astype(jnp.bfloat16)], axis=1
+        )  # (qb, hd+1)
+
+        l0 = jnp.zeros((1, qb), jnp.float32)
+        acc0 = jnp.zeros((hd, qb), jnp.float32)
+
+        def body(j, carry, lo=lo, q_aug=q_aug):
+            l, acc = carry
+            kh = k_ref[0, pl.ds(j * k_block, k_block), lo : lo + hd].astype(jnp.bfloat16)
+            vh = v_ref[0, pl.ds(j * k_block, k_block), lo : lo + hd].astype(jnp.bfloat16)
+            ones = jnp.ones((k_block, 1), jnp.bfloat16)
+            k_aug = jnp.concatenate([kh, ones], axis=1)  # (bk, hd+1)
+            s_t = jax.lax.dot_general(
+                k_aug, q_aug, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bk, qb) = (s - off) in the log2 domain
+            p_t = jnp.exp2(jnp.clip(s_t, -_EXP_CLAMP, _EXP_CLAMP)).astype(jnp.bfloat16)
+            v_aug = jnp.concatenate([vh, ones], axis=1)  # (bk, hd+1)
+            pv_t = jax.lax.dot_general(
+                v_aug, p_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (hd+1, qb): rows :hd = V^T P^T, row hd = colsum(P^T)
+            return l + pv_t[hd : hd + 1], acc + pv_t[:hd]
+
+        l, acc = jax.lax.fori_loop(0, n_blocks, body, (l0, acc0))
+        o_ref[0, :, lo : lo + hd] = (acc / l).T.astype(o_ref.dtype)
+
+
+def flash_attention_fullc_nt(
+    q: jnp.ndarray,  # (B, S, C), heads packed in C — standard layout
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    scale: float,
+    q_block: int = DEFAULT_Q_BLOCK,
+    k_block: int = DEFAULT_K_BLOCK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, S, C = q.shape
+    Skv = k.shape[1]
+    hd = C // heads
+    assert S % q_block == 0 and Skv % k_block == 0
+
+    kernel = functools.partial(
+        _flash_kernel_fullc_nt, heads=heads, hd=hd, k_block=k_block, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, S // q_block),
+        in_specs=[
+            pl.BlockSpec((1, q_block, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Skv, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Skv, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, C), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * S * Skv * C,
+            bytes_accessed=2 * B * (2 * S + 2 * Skv) * C,
+            transcendentals=B * heads * S * Skv,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
 # Route the big streamed-regime self-attention (the top-level 9216-token
 # shape) through the transposed kernel. Module flag so probes can A/B it.
 TRANSPOSED_FULLC = True
+# Prefer the layout-neutral variant of the transposed kernel (standard
+# (B, S, C) interface, in-MXU transposition) over the HBM-transposed one.
+NEUTRAL_FULLC = True
 
 
 def _cross_kernel_fullc(q_ref, k_ref, v_ref, o_ref, *, heads: int,
@@ -665,6 +773,18 @@ def _flash(q, k, v, heads, q_block, k_block, interpret):
         Cv = C + heads if _can_fuse_ones(C, heads) else C
         resident_old = (_lane_padded_bytes(Skv, C) + _lane_padded_bytes(Skv, Cv)
                         <= FULLC_RESIDENT_BYTES)
+        if (NEUTRAL_FULLC and TRANSPOSED_FULLC
+                and S % q_block == 0 and Skv % k_block == 0):
+            # layout-neutral transposed-PV kernel (standard (B, S, C)
+            # boundary, transposition inside the MXU via dot_general
+            # dimension numbers): full-lane PV output at EVERY level, no
+            # HBM-side swapaxes/augment copies, bit-identical to the _t
+            # kernel. Covers both the resident (2304) and streamed (9216)
+            # regimes — K/V stay VMEM-resident under the raised cap.
+            return flash_attention_fullc_nt(
+                q, k, v, heads, scale, q_block=q_block, k_block=k_block,
+                interpret=interpret,
+            )
         if (TRANSPOSED_FULLC and not resident_old
                 and S % q_block == 0 and Skv % k_block == 0):
             # the streamed regime (top 9216-token level): the transposed

@@ -151,6 +151,27 @@ class FusedLayerNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+# MEASURED AND REJECTED (round 3, real chip): flattening every Dense operand
+# to 2-D before the dot looked attractive — xprof showed N-D projection dots
+# conv-ified with windows like {size=32 pad=31_31 rhs_reversal=1} — but the
+# 4-step denoise got SLOWER with it (4.36 s vs 4.09 s): XLA's conv-encoded
+# dots execute the token-minor layouts (propagated from the attention custom
+# calls) cheaper than the explicit reshape->matmul->reshape chain the 2-D
+# form forces. Keep False; the flag stays for probes.
+DENSE_2D = False
+
+
+def dense_2d(layer: nn.Dense, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply a channel ``Dense`` on flattened 2-D ``(tokens, C)`` operands
+    when ``DENSE_2D`` is set (see the rejection note above); otherwise the
+    Dense consumes the N-D operand directly."""
+    if not DENSE_2D or x.ndim <= 2:
+        return layer(x)
+    shape = x.shape
+    y = layer(x.reshape(-1, shape[-1]))
+    return y.reshape(shape[:-1] + (y.shape[-1],))
+
+
 class Attention(nn.Module):
     """diffusers-style Attention: to_q/to_k/to_v (no bias), to_out (bias).
 
@@ -165,11 +186,11 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None):
         ctx = x if context is None else context
-        q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        q = dense_2d(nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_q"), x)
+        k = dense_2d(nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_k"), ctx)
+        v = dense_2d(nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_v"), ctx)
         out = run_attention(q, k, v, self.heads)
-        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        return dense_2d(nn.Dense(self.dim, dtype=self.dtype, name="to_out"), out)
 
 
 class GEGLUFeedForward(nn.Module):
@@ -182,10 +203,10 @@ class GEGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = self.dim * self.mult
-        hidden_gate = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
+        hidden_gate = dense_2d(nn.Dense(inner * 2, dtype=self.dtype, name="proj"), x)
         hidden, gate = jnp.split(hidden_gate, 2, axis=-1)
         x = hidden * nn.gelu(gate, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="out")(x)
+        return dense_2d(nn.Dense(self.dim, dtype=self.dtype, name="out"), x)
 
 
 class TransformerBlock(nn.Module):
@@ -260,12 +281,12 @@ class SpatialTransformer(nn.Module):
         h = FusedGroupNorm(self.norm_groups, 1e-6, dtype=self.dtype, name="norm")(x)
         # SD1.5 uses a 1x1 conv projection (use_linear_projection=False); on a
         # NHWC token layout that's exactly a Dense over the channel axis.
-        h = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(h)
+        h = dense_2d(nn.Dense(self.dim, dtype=self.dtype, name="proj_in"), h)
         h = h.reshape(B, H * W, self.dim)
         h, bank = TransformerBlock(
             self.dim, self.heads, self.cross_dim, dtype=self.dtype,
             remat=self.remat, name="block"
         )(h, context, ref=ref, write=write)
-        h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+        h = dense_2d(nn.Dense(C, dtype=self.dtype, name="proj_out"), h)
         h = h.reshape(B, H, W, C)
         return h + residual, bank

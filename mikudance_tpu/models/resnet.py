@@ -104,6 +104,16 @@ class Downsample(nn.Module):
         return conv3x3(self.out_channels, self.dtype, "conv", stride=2)(x)
 
 
+def nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x spatial upsample of (B, H, W, C) in ONE pass:
+    two chained ``jnp.repeat`` calls materialize the intermediate (B, 2H,
+    W, C) tensor — a full extra HBM round-trip on multi-100-MB activations
+    (the UNet's and VAE decoder's up paths both hit this at 768^2)."""
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, 2 * H, 2 * W, C)
+
+
 class Upsample(nn.Module):
     """Nearest 2x + 3x3 conv."""
 
@@ -112,6 +122,4 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        B, H, W, C = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return conv3x3(self.out_channels, self.dtype, "conv")(x)
+        return conv3x3(self.out_channels, self.dtype, "conv")(nearest_2x(x))

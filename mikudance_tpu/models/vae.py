@@ -86,8 +86,9 @@ class VAEUpsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return conv3x3(self.out_channels, self.dtype, "conv")(x)
+        from .resnet import nearest_2x
+
+        return conv3x3(self.out_channels, self.dtype, "conv")(nearest_2x(x))
 
 
 class Encoder(nn.Module):

@@ -55,6 +55,15 @@ class Timer:
 
 def op_profile_summary(log_dir: str, top: int = 12) -> List[Tuple[float, str]]:
     """Top op categories by self time from an xplane trace (needs xprof)."""
+    return [(t, f"{prog} :: {cat}") for t, prog, cat, _ in
+            op_profile_rows(log_dir, depth=2)[:top]]
+
+
+def op_profile_rows(log_dir: str, depth: int = 3):
+    """Rows (self_time, program, category, op_name) from an xplane trace,
+    sorted by self time descending. depth=2 aggregates per (program,
+    category); depth=3 gives individual fused ops — the names carry the HLO
+    op (e.g. 'fusion.123') plus xprof's provenance suffix where present."""
     from xprof.convert import raw_to_tool_data as rtd
 
     # one session only: mixing xplane files from different profile sessions
@@ -63,16 +72,23 @@ def op_profile_summary(log_dir: str, top: int = 12) -> List[Tuple[float, str]]:
     data, _ = rtd.xspace_to_tool_data(files, "op_profile", {})
     d = json.loads(data) if isinstance(data, (str, bytes)) else data
 
-    rows: List[Tuple[float, str]] = []
+    rows = []
 
-    def walk(node, depth):
+    def walk(node, dep, prog, cat):
+        name = node.get("name", "?")
+        if dep == 1:
+            prog = name
+        elif dep == 2:
+            cat = name
         m = node.get("metrics", {})
         t = m.get("rawTime", m.get("time", 0))
-        if depth == 2 and t:
-            rows.append((float(t), node.get("name", "?")))
-        for c in node.get("children", []):
-            walk(c, depth + 1)
+        if dep == depth and t:
+            rows.append((float(t), prog or "?", cat or "?",
+                         name if depth >= 3 else ""))
+        if dep < depth:
+            for c in node.get("children", []):
+                walk(c, dep + 1, prog, cat)
 
-    walk(d.get("byProgram", {}), 0)
+    walk(d.get("byProgram", {}), 0, None, None)
     rows.sort(reverse=True)
-    return rows[:top]
+    return rows

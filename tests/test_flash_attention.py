@@ -223,6 +223,35 @@ def test_flash_non128_blocks_parity():
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 
 
+def test_neutral_fullc_kernel_equals_transposed():
+    """The layout-neutral transposed-PV kernel (standard (B, S, C) boundary,
+    in-MXU transposition) must be BIT-identical to the HBM-transposed _t
+    kernel — same matmuls, same anchor/ones tricks, different operand
+    orientation — and finite on extreme inputs."""
+    import mikudance_tpu.kernels.flash_attention as fa
+
+    rng = np.random.default_rng(17)
+    B, S, heads, hd = 2, 512, 4, 40
+    C = heads * hd
+    scale = 1.0 / np.sqrt(hd)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(B, S, C)), jnp.bfloat16) for _ in range(3)
+    )
+    nt = np.asarray(fa.flash_attention_fullc_nt(
+        q, k, v, heads, scale, q_block=128, k_block=128, interpret=True
+    ).astype(jnp.float32))
+    t = np.asarray(fa.flash_attention_fullc_t(
+        q, k, v, heads, scale, q_block=128, k_block=128, interpret=True
+    ).astype(jnp.float32))
+    np.testing.assert_array_equal(nt, t)
+    want = np.asarray(dot_product_attention(q, k, v, heads).astype(jnp.float32))
+    np.testing.assert_allclose(nt, want, atol=2e-2, rtol=2e-2)
+    q30 = (q.astype(jnp.float32) * 30).astype(jnp.bfloat16)
+    out30 = fa.flash_attention_fullc_nt(
+        q30, k, v, heads, scale, q_block=128, k_block=128, interpret=True)
+    assert np.isfinite(np.asarray(out30.astype(jnp.float32))).all()
+
+
 def test_transposed_fullc_kernel_parity(monkeypatch):
     """The transposed-PV resident kernel (the 9216-token fast path): force
     its dispatch (FULLC_RESIDENT_BYTES=0 so the old resident path cannot
