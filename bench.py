@@ -264,14 +264,36 @@ def main():
     print(json.dumps(headline))  # headline LAST: the driver parses this line
 
 
-def _require_device(timeout_s: float = 300.0):
-    """Fail fast (and loudly) when the TPU tunnel is hung.
+def _emit_stale_fallback(reason: str):
+    """Last resort: surface the most recent committed headline, marked stale.
+
+    Round 3's lesson: a one-shot probe + exit left BENCH_r03.json holding an
+    error instead of ANY number. If the tunnel never recovers, re-emit the
+    last good ``bench_results.json`` headline with ``"stale": true`` so the
+    record distinguishes "never measured" from "measured last round, tunnel
+    down today"."""
+    try:
+        with open("bench_results.json") as f:
+            prior = json.load(f)
+        headline = next(r for r in reversed(prior) if r.get("metric") == METRIC
+                        and "value" in r)
+        headline = dict(headline)
+        headline["stale"] = True
+        headline["error"] = reason
+        print(json.dumps(headline), flush=True)
+    except Exception:
+        print(json.dumps({"metric": METRIC, "error": reason}), flush=True)
+
+
+def _require_device(probe_every_s: float = 60.0, give_up_s: float = 1200.0):
+    """Wait (loudly) for the TPU tunnel, retrying instead of one-shot failing.
 
     The axon pool occasionally goes down; ``jax.devices()`` then blocks
-    FOREVER inside PJRT client init (observed 2026-08-17: hours). A hung
-    bench is the worst outcome for the driver — burn the whole budget,
-    report nothing — so probe the backend on a side thread and exit with a
-    diagnostic if it doesn't come up in ``timeout_s``.
+    FOREVER inside PJRT client init (observed 2026-08-17: hours). Round 3's
+    one-shot 300 s probe turned a *flaky-but-recovering* tunnel into an empty
+    BENCH file — so now we re-probe every ``probe_every_s`` for up to
+    ``give_up_s`` (the probe thread blocks once; we poll its completion),
+    and only after ~20 min emit the stale-marked last-good headline and exit.
     """
     import os
     import threading
@@ -285,18 +307,18 @@ def _require_device(timeout_s: float = 300.0):
             done.set()
 
     threading.Thread(target=probe, daemon=True).start()
-    if not done.wait(timeout_s):
-        print(
-            json.dumps(
-                {
-                    "metric": METRIC,
-                    "error": f"TPU backend init did not complete in {timeout_s:.0f}s "
-                    "(axon tunnel down?) — no measurement taken",
-                }
-            ),
-            flush=True,
-        )
-        os._exit(3)
+    waited = 0.0
+    while waited < give_up_s:
+        if done.wait(probe_every_s):
+            return
+        waited += probe_every_s
+        print(f"# TPU backend not up after {waited:.0f}s; retrying "
+              f"(give up at {give_up_s:.0f}s)", flush=True)
+    _emit_stale_fallback(
+        f"TPU backend init did not complete in {give_up_s:.0f}s "
+        "(axon tunnel down?) — re-emitting last committed measurement as stale"
+    )
+    os._exit(3)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,8 @@ from mikudance_tpu.pipelines.video import (
     choose_bank_group,
 )
 
+pytestmark = pytest.mark.slow  # heavy tier; see pytest.ini
+
 TINY = UNetConfig(block_out_channels=(32, 64, 96, 96), attention_heads=4)
 TINY_VAE = VAEConfig(block_out_channels=(16, 32, 32, 32), norm_num_groups=8)
 T, H, W = 6, 64, 64

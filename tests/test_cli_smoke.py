@@ -18,6 +18,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow  # heavy tier; see pytest.ini
+
 
 TINY_HW = 64
 

@@ -24,6 +24,8 @@ tightly. This composes the per-module conversion parity proofs into the
 full serving path.
 """
 
+import pytest
+
 import importlib.util
 
 import jax
@@ -49,6 +51,8 @@ from mikudance_tpu.pipelines.video import ModelBundle, SD_LATENT_SCALE, VideoPip
 from test_torch_parity import TUNet
 from test_vae_parity import CH as VAE_CH, GROUPS as VAE_GROUPS, LAYERS as VAE_LAYERS
 from test_vae_parity import TAutoencoderKL
+
+pytestmark = pytest.mark.slow  # heavy tier; see pytest.ini
 
 TINY = UNetConfig(block_out_channels=(32, 64, 96, 96), attention_heads=4)
 TINY_VAE = VAEConfig(

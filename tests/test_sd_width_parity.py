@@ -35,6 +35,8 @@ from test_torch_parity import (
     no_grad_test,
 )
 
+pytestmark = pytest.mark.slow  # heavy tier; see pytest.ini
+
 # (channels, spatial) tiers of the 768^2 serving path: 96^2 @ 320,
 # 48^2 @ 640, 24^2 @ 1280 (heads=8 -> head_dim 40/80/160)
 TIERS = [(320, 96), (640, 48), (1280, 24)]

@@ -26,6 +26,8 @@ from mikudance_tpu.models.unet import DenoisingUNet, GuidanceUNet
 from mikudance_tpu.models.vae import Decoder, Encoder
 from mikudance_tpu.pipelines.video import ModelBundle, VideoPipeline
 
+pytestmark = pytest.mark.slow  # heavy tier; see pytest.ini
+
 TINY = UNetConfig(block_out_channels=(32, 64, 96, 96), attention_heads=4)
 TINY_VAE = VAEConfig(block_out_channels=(16, 32, 32, 32), norm_num_groups=8)
 

@@ -25,6 +25,8 @@ from mikudance_tpu.core.configs import VAEConfig
 from mikudance_tpu.core.convert import convert_temporal_decoder
 from mikudance_tpu.models.vae_temporal import TemporalDecoder
 
+pytestmark = pytest.mark.slow  # heavy tier; see pytest.ini
+
 CH = (16, 32, 32, 32)
 GROUPS = 8
 LAYERS = 2

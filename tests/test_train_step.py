@@ -65,6 +65,7 @@ def test_trainable_mask_stage2():
     assert all(("motion" in j) or ("man_" in j) for j in joined_on)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("stage", ["stage1", "stage2"])
 def test_train_step_dp(stage):
     guide, gp, den, dp = _models()
@@ -110,6 +111,7 @@ def test_train_step_dp(stage):
         assert n_frozen_ok > 0
 
 
+@pytest.mark.slow
 def test_train_loop_cycles_epochs(tmp_path):
     """max_steps beyond one epoch must re-iterate the loader (the reference's
     per-epoch DataLoader loop, `train_stage1.py:470-478`)."""
@@ -194,6 +196,7 @@ def _small_models():
     return guide, gp, den, dp
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_matches_full_batch():
     """Accelerate semantics (`solver.gradient_accumulation_steps`): k
     micro-steps on B/k-sample micro-batches, grads averaged, == one step on
@@ -245,6 +248,7 @@ def test_gradient_accumulation_matches_full_batch():
         )
 
 
+@pytest.mark.slow
 def test_train_loop_counts_optimizer_steps_with_accumulation(tmp_path):
     """max_steps and the cadences count OPTIMIZER steps (the reference's
     global_step advances only on sync_gradients): with k=2 accumulation,
@@ -272,6 +276,7 @@ def test_train_loop_counts_optimizer_steps_with_accumulation(tmp_path):
     assert int(state.step) == 6  # TrainState.step counts micro-steps
 
 
+@pytest.mark.slow
 def test_train_loop_epoch_export(tmp_path):
     """save_model_epochs exports deployables at epoch boundaries (the
     reference's save_model_epoch_interval, `train_stage1.py:736-760`)."""

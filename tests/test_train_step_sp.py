@@ -26,6 +26,8 @@ from mikudance_tpu.diffusion.ddim import DDIMSchedule
 from mikudance_tpu.models.unet import DenoisingUNet, GuidanceUNet
 from mikudance_tpu.train.steps import TrainConfig, init_train_state, make_train_step
 
+pytestmark = pytest.mark.slow  # heavy tier; see pytest.ini
+
 TINY = UNetConfig(block_out_channels=(32, 64, 96, 96), attention_heads=4)
 
 

@@ -26,6 +26,8 @@ import numpy as np
 import pytest
 import torch
 
+pytestmark = pytest.mark.slow  # heavy tier; see pytest.ini
+
 torch.manual_seed(0)
 
 XPOSE = "/root/reference/src/XPose"

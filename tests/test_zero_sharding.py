@@ -9,6 +9,8 @@ numerical drop-in, that per-device state memory actually drops ~8x, and
 that the step's outputs stay sharded (donation-compatible).
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +25,8 @@ from mikudance_tpu.core.configs import (
 from mikudance_tpu.diffusion.ddim import DDIMSchedule
 from mikudance_tpu.models.unet import DenoisingUNet, GuidanceUNet
 from mikudance_tpu.train.steps import TrainConfig, init_train_state, make_train_step
+
+pytestmark = pytest.mark.slow  # heavy tier; see pytest.ini
 
 # small on purpose: the interesting machinery is the sharding of ~900 leaves,
 # not model depth, and the SPMD-partitioned grad graph is expensive to
