@@ -225,9 +225,13 @@ def test_flash_non128_blocks_parity():
 
 def test_neutral_fullc_kernel_equals_transposed():
     """The layout-neutral transposed-PV kernel (standard (B, S, C) boundary,
-    in-MXU transposition) must be BIT-identical to the HBM-transposed _t
-    kernel — same matmuls, same anchor/ones tricks, different operand
-    orientation — and finite on extreme inputs."""
+    in-MXU transposition) must match the HBM-transposed _t kernel to one
+    bf16 ulp — same matmuls, same anchor/ones tricks, different operand
+    orientation. (Not bit-identical: the QK contraction widths differ, hd+1
+    vs hd+8 zero-padded lanes, and the backend may split those differently
+    sized reductions at different points — observed one-ulp flips on 0.07%
+    of elements depending on which program compiled first.) Also finite on
+    extreme inputs."""
     import mikudance_tpu.kernels.flash_attention as fa
 
     rng = np.random.default_rng(17)
@@ -243,7 +247,9 @@ def test_neutral_fullc_kernel_equals_transposed():
     t = np.asarray(fa.flash_attention_fullc_t(
         q, k, v, heads, scale, q_block=128, k_block=128, interpret=True
     ).astype(jnp.float32))
-    np.testing.assert_array_equal(nt, t)
+    # one bf16 ulp at |t| <= 0.56: 2^-11 relative -> atol 1e-3 floor for the
+    # near-zero entries where relative comparison is meaningless
+    np.testing.assert_allclose(nt, t, rtol=2 ** -8, atol=1e-3)
     want = np.asarray(dot_product_attention(q, k, v, heads).astype(jnp.float32))
     np.testing.assert_allclose(nt, want, atol=2e-2, rtol=2e-2)
     q30 = (q.astype(jnp.float32) * 30).astype(jnp.bfloat16)
