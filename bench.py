@@ -146,21 +146,35 @@ def pallas_attention_flops(T_frames: int, steps: int) -> float:
     return per_step * steps
 
 
-def phase_and_mfu(pipe, inputs):
-    """One instrumented pass: per-phase seconds + denoise MFU. FLOPs = the
-    XLA-counted FLOPs of the exact compiled denoise program + the analytic
-    FLOPs of its Pallas attention custom calls (invisible to cost_analysis).
+def phase_and_mfu(pipe, inputs, repeats=3):
+    """Instrumented passes: per-phase seconds (MEDIANS over ``repeats``) +
+    denoise MFU. FLOPs = the XLA-counted FLOPs of the exact compiled denoise
+    program + the analytic FLOPs of its Pallas attention custom calls
+    (invisible to cost_analysis).
 
-    Phase seconds each include one host sync (a scalar fetch through the
-    axon tunnel, ~0.2-0.3 s), so the phase SUM exceeds the clean end-to-end
-    number; read them as a breakdown, not as additive truth."""
+    Round-3 lesson (committed bench_results.json said "vae_encode": 10.209 s
+    while the true encode is ~1.0 s): each phase boundary syncs via a scalar
+    fetch whose tiny astype+sum programs COMPILE on first use — through the
+    axon tunnel that compile costs ~5-10 s and lands in whatever phase hits
+    it first. So the FIRST instrumented pass is a warmup (discarded) and the
+    reported numbers are medians of the following ``repeats`` passes. The
+    caller cross-checks Σphases against the clean end-to-end median."""
     from mikudance_tpu.utils.profiling import Timer
 
     grab_cached, grab_streamed, cap, orig = denoise_flops(pipe)
     pipe._denoise_jit, pipe._denoise_streamed_jit = grab_cached, grab_streamed
     try:
+        samples = []
+        for it in range(repeats + 1):
+            t = Timer()
+            np.asarray(pipe(*inputs, to_host=True, timer=t))
+            if it > 0:  # pass 0 compiles the phase-sync programs
+                samples.append(t.phases)
         timer = Timer()
-        np.asarray(pipe(*inputs, to_host=True, timer=timer))
+        timer.phases = {
+            k: float(np.median([s[k] for s in samples]))
+            for k in samples[0]
+        }
     finally:
         pipe._denoise_jit, pipe._denoise_streamed_jit = orig
 
@@ -206,12 +220,18 @@ def main():
         phases, tfs, mfu = phase_and_mfu(pipe, inputs)
     except Exception as e:
         phases, tfs, mfu = {"error": f"{type(e).__name__}: {e}"}, None, None
+    phase_sum = sum(v for v in phases.values() if isinstance(v, float))
     headline = {
         "metric": METRIC,
         "value": round(sec, 3),
         "unit": "s",
         "vs_baseline": round(8.0 / sec, 3),
         "phases_s": phases,
+        # self-consistency gate (round-3 lesson): the phase medians must
+        # roughly reassemble the clean end-to-end median, else the breakdown
+        # is instrumentation noise and must not be quoted
+        "phases_sum_s": round(phase_sum, 3),
+        "phases_consistent": bool(abs(phase_sum - sec) <= 0.15 * sec),
         "denoise_tflops_per_s": round(tfs, 1) if tfs else None,
         "denoise_mfu_bf16": round(mfu, 3) if mfu else None,
     }
