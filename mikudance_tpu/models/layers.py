@@ -172,10 +172,55 @@ def dense_2d(layer: nn.Dense, x: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(shape[:-1] + (y.shape[-1],))
 
 
+# MEASURED AND REJECTED (round 4, real chip): fusing q/k/v projections into
+# one ``dot(x, concat(Wq, Wk, Wv))`` MXU pass. The dot-of-concat pattern
+# sends XLA:TPU's compile time pathological — the tiny 192^2 denoise program
+# went 207 s -> 977 s, the full 768^2 one from ~10 min to >35 min (never
+# finished) — and the K/V *hoisting* (the real per-step win) does not need
+# it. The flag keeps the fused path buildable for re-probes.
+FUSE_PROJ = False
+
+
+class AttnProj(nn.Module):
+    """Parameter-only projection mirroring ``nn.Dense``'s param tree
+    ({kernel[, bias]}) so converted SD checkpoints are unchanged; the matmul
+    itself is owned by ``Attention`` (one place to hoist/fuse projections —
+    see ``FUSE_PROJ`` and ``Attention.project_kv``)."""
+
+    in_dim: int
+    out_dim: int
+    use_bias: bool = False
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim),
+            jnp.float32,
+        )
+        self.bias = (
+            self.param("bias", nn.initializers.zeros, (self.out_dim,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+
+
 class Attention(nn.Module):
     """diffusers-style Attention: to_q/to_k/to_v (no bias), to_out (bias).
 
     ``kv_dim`` differs from ``dim`` for cross-attention (CLIP context: 768).
+
+    Projections sharing an input run as ONE fused matmul (q/k/v for plain
+    self-attention, k/v otherwise — see ``AttnProj``). Two hooks hoist
+    step-invariant work out of the denoise scan (both step-invariant per the
+    reference's own semantics — banks depend only on the t=0 condition stack,
+    `mutual_mix_attention.py:130-201`, and the CLIP context never changes
+    across steps, `pipeline_mikudance.py:592-667`):
+
+    - ``extra_kv=(k_add, v_add)``: precomputed reference-bank K/V added to the
+      self-attention K/V *projections*. Linearity makes this the additive
+      injection ``W(norm_h + ref) = W(norm_h) + W(ref)`` with the ``W(ref)``
+      half computed once per clip instead of once per step.
+    - ``kv=(k, v)``: precomputed K/V replacing the projections entirely
+      (hoisted cross-attention context K/V).
     """
 
     dim: int
@@ -183,14 +228,61 @@ class Attention(nn.Module):
     kv_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None):
-        ctx = x if context is None else context
-        q = dense_2d(nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_q"), x)
-        k = dense_2d(nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_k"), ctx)
-        v = dense_2d(nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_v"), ctx)
+    def setup(self):
+        d = self.dim
+        kin = self.kv_dim or d
+        self.to_q = AttnProj(d, d, False, name="to_q")
+        self.to_k = AttnProj(kin, d, False, name="to_k")
+        self.to_v = AttnProj(kin, d, False, name="to_v")
+        self.to_out = AttnProj(d, d, True, name="to_out")
+
+    def _mm(self, x: jnp.ndarray, *kernels, bias=None) -> jnp.ndarray:
+        w = kernels[0] if len(kernels) == 1 else jnp.concatenate(kernels, axis=1)
+        y = x.astype(self.dtype) @ w.astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+    def project_kv(self, ctx: jnp.ndarray):
+        """The K/V projections alone — the step-invariant half that callers
+        hoist out of the denoise scan (used by the ``precompute_*_kv``
+        helpers in models/unet.py)."""
+        if FUSE_PROJ:
+            kv = self._mm(ctx, self.to_k.kernel, self.to_v.kernel)
+            k, v = jnp.split(kv, 2, axis=-1)
+            return k, v
+        return self._mm(ctx, self.to_k.kernel), self._mm(ctx, self.to_v.kernel)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        extra_kv=None,
+        kv=None,
+    ):
+        if kv is not None:
+            q = self._mm(x, self.to_q.kernel)
+            k, v = kv
+            k, v = k.astype(q.dtype), v.astype(q.dtype)
+        elif context is not None:
+            q = self._mm(x, self.to_q.kernel)
+            k, v = self.project_kv(context)
+        else:
+            if FUSE_PROJ:
+                q, k, v = jnp.split(
+                    self._mm(x, self.to_q.kernel, self.to_k.kernel,
+                             self.to_v.kernel),
+                    3, axis=-1,
+                )
+            else:
+                q = self._mm(x, self.to_q.kernel)
+                k = self._mm(x, self.to_k.kernel)
+                v = self._mm(x, self.to_v.kernel)
+            if extra_kv is not None:
+                k = k + extra_kv[0].astype(k.dtype)
+                v = v + extra_kv[1].astype(v.dtype)
         out = run_attention(q, k, v, self.heads)
-        return dense_2d(nn.Dense(self.dim, dtype=self.dtype, name="to_out"), out)
+        return self._mm(out, self.to_out.kernel, bias=self.to_out.bias)
 
 
 class GEGLUFeedForward(nn.Module):
@@ -233,20 +325,28 @@ class TransformerBlock(nn.Module):
         context: jnp.ndarray,
         ref: Optional[jnp.ndarray] = None,
         write: bool = False,
+        ref_kv=None,
+        ctx_kv=None,
     ):
         FF = nn.remat(GEGLUFeedForward) if self.remat else GEGLUFeedForward
         norm_h = FusedLayerNorm(1e-5, dtype=self.dtype, name="norm1")(x)
         bank_out = norm_h if write else None
 
-        kv = norm_h if ref is None else norm_h + ref
         attn1 = Attention(self.dim, self.heads, dtype=self.dtype, name="attn1")
-        x = x + attn1(norm_h, kv if ref is not None else None)
+        if ref_kv is not None:
+            # banks precomputed through attn1's own K/V kernels (additive
+            # injection in projected space; zeros for the uncond half)
+            x = x + attn1(norm_h, extra_kv=ref_kv)
+        elif ref is not None:
+            x = x + attn1(norm_h, context=norm_h + ref)
+        else:
+            x = x + attn1(norm_h)
 
         norm2 = FusedLayerNorm(1e-5, dtype=self.dtype, name="norm2")(x)
         attn2 = Attention(
             self.dim, self.heads, kv_dim=self.cross_dim, dtype=self.dtype, name="attn2"
         )
-        x = x + attn2(norm2, context)
+        x = x + attn2(norm2, context, kv=ctx_kv)
 
         norm3 = FusedLayerNorm(1e-5, dtype=self.dtype, name="norm3")(x)
         x = x + FF(self.dim, dtype=self.dtype, name="ff")(norm3)
@@ -275,6 +375,8 @@ class SpatialTransformer(nn.Module):
         context: jnp.ndarray,  # (B, S_ctx, cross_dim)
         ref: Optional[jnp.ndarray] = None,
         write: bool = False,
+        ref_kv=None,
+        ctx_kv=None,
     ):
         B, H, W, C = x.shape
         residual = x
@@ -286,7 +388,7 @@ class SpatialTransformer(nn.Module):
         h, bank = TransformerBlock(
             self.dim, self.heads, self.cross_dim, dtype=self.dtype,
             remat=self.remat, name="block"
-        )(h, context, ref=ref, write=write)
+        )(h, context, ref=ref, write=write, ref_kv=ref_kv, ctx_kv=ctx_kv)
         h = dense_2d(nn.Dense(C, dtype=self.dtype, name="proj_out"), h)
         h = h.reshape(B, H, W, C)
         return h + residual, bank

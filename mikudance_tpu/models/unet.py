@@ -50,6 +50,56 @@ def bank_keys(cfg: UNetConfig) -> list:
     return keys
 
 
+def _attn_module_name(key: str) -> str:
+    """Structural bank key -> the spatial-transformer submodule holding it."""
+    if key == "mid":
+        return "mid_attn"
+    kind, i, j = key.split("_")
+    return f"{kind}_{i}_attn_{j}"
+
+
+def _attn_kernels(den_params, key: str, which: str):
+    p = den_params.get("params", den_params)
+    attn = p[_attn_module_name(key)]["block"][which]
+    return attn["to_k"]["kernel"], attn["to_v"]["kernel"]
+
+
+def precompute_reference_kv(den_params, banks: Dict[str, jnp.ndarray],
+                            dtype=jnp.bfloat16) -> Dict[str, tuple]:
+    """Banks projected through each reader block's OWN attn1 K/V kernels.
+
+    The reference injection is additive on the K/V *input* — ``kv = norm_h +
+    ref`` (`mutual_mix_attention.py:169-180`); by linearity ``W(norm_h + ref)
+    = W(norm_h) + W(ref)``, and ``W(ref)`` depends only on the t=0 condition
+    stack, so it is computed ONCE per clip here instead of once per denoise
+    step (the raw banks are then not needed by the scan at all). The same
+    per-kernel matmul form as ``Attention.project_kv`` keeps numerics aligned.
+    """
+    out = {}
+    for key, bank in banks.items():
+        wk, wv = _attn_kernels(den_params, key, "attn1")
+        b = bank.astype(dtype)
+        out[key] = (b @ wk.astype(dtype), b @ wv.astype(dtype))
+    return out
+
+
+def precompute_context_kv(den_params, context: jnp.ndarray, keys,
+                          dtype=jnp.bfloat16) -> Dict[str, tuple]:
+    """Cross-attention K/V of the CLIP context, per reader block.
+
+    The CLIP context never changes across denoise steps
+    (`pipeline_mikudance.py:592-667`), so each attn2's K/V projections are
+    step-invariant; hoisting them out of the scan saves 16 (tiny) matmul
+    pairs per step. ``context``: (B, S, 768) — the per-frame repeat happens
+    inside the UNet next to its ``ctx_f`` repeat."""
+    out = {}
+    c = context.astype(dtype)
+    for key in keys:
+        wk, wv = _attn_kernels(den_params, key, "attn2")
+        out[key] = (c @ wk.astype(dtype), c @ wv.astype(dtype))
+    return out
+
+
 def _up_block_channels(cfg: UNetConfig, i: int):
     """(prev_output, output, skip_input) channels of up block i (diffusers logic)."""
     rev = list(reversed(cfg.block_out_channels))
@@ -186,6 +236,8 @@ class DenoisingUNet(nn.Module):
         timesteps: jnp.ndarray,  # (B,)
         context: jnp.ndarray,  # (B, S, 768) CLIP image tokens
         banks: Optional[Dict[str, jnp.ndarray]] = None,  # each (B*T, S_l, C_l)
+        banks_kv: Optional[Dict[str, tuple]] = None,  # precomputed bank K/V
+        ctx_kv: Optional[Dict[str, tuple]] = None,  # precomputed cross K/V (B, 257, C_l)
     ) -> jnp.ndarray:
         u = self.cfg.unet
         ch = u.block_out_channels
@@ -213,6 +265,15 @@ class DenoisingUNet(nn.Module):
         def ref(key):
             return None if banks is None else banks.get(key)
 
+        def ref_kv(key):
+            return None if banks_kv is None else banks_kv.get(key)
+
+        def ckv(key):
+            if ctx_kv is None:
+                return None
+            k, v = ctx_kv[key]
+            return jnp.repeat(k, T, axis=0), jnp.repeat(v, T, axis=0)
+
         h = conv3x3(ch[0], self.dtype, "conv_in")(fold(sample.astype(self.dtype)))
 
         skips = [h]
@@ -227,7 +288,8 @@ class DenoisingUNet(nn.Module):
                         ch[i], heads, u.cross_attention_dim, u.norm_num_groups,
                         dtype=self.dtype, remat=self.remat,
                         name=f"down_{i}_attn_{j}",
-                    )(h, ctx_f, ref(f"down_{i}_{j}"), False)
+                    )(h, ctx_f, ref(f"down_{i}_{j}"), False,
+                      ref_kv(f"down_{i}_{j}"), ckv(f"down_{i}_{j}"))
                 if use_motion:
                     h = fold(self._motion(f"down_{i}_motion_{j}", ch[i])(unfold(h)))
                 skips.append(h)
@@ -240,7 +302,7 @@ class DenoisingUNet(nn.Module):
         h, _ = ST(
             ch[-1], heads, u.cross_attention_dim, u.norm_num_groups,
             dtype=self.dtype, remat=self.remat, name="mid_attn",
-        )(h, ctx_f, ref("mid"), False)
+        )(h, ctx_f, ref("mid"), False, ref_kv("mid"), ckv("mid"))
         if use_motion and self.cfg.motion.mid_block:
             h = fold(self._motion("mid_motion", ch[-1])(unfold(h)))
         h = RB(ch[-1], u.norm_num_groups, u.norm_eps, dtype=self.dtype,
@@ -259,7 +321,8 @@ class DenoisingUNet(nn.Module):
                         out_ch, heads, u.cross_attention_dim, u.norm_num_groups,
                         dtype=self.dtype, remat=self.remat,
                         name=f"up_{i}_attn_{j}",
-                    )(h, ctx_f, ref(f"up_{i}_{j}"), False)
+                    )(h, ctx_f, ref(f"up_{i}_{j}"), False,
+                      ref_kv(f"up_{i}_{j}"), ckv(f"up_{i}_{j}"))
                 if use_motion:
                     h = fold(self._motion(f"up_{i}_motion_{j}", out_ch)(unfold(h)))
             if i < u.num_blocks - 1:

@@ -52,15 +52,28 @@ class ImagePipeline:
         )
 
     def _denoise(self, dp, noise, banks, ctx_cond, ts, prev_ts, scale):
+        from ..models.unet import (bank_keys, precompute_context_kv,
+                                   precompute_reference_kv)
+
         d = self.bundle.den.dtype
-        banks2 = {k: jnp.concatenate([jnp.zeros_like(v), v], 0) for k, v in banks.items()}
+        # step-invariant K/V hoisted out of the scan (see pipelines/video.py)
+        banks_kv = precompute_reference_kv(dp, banks, d)
+        banks2 = {
+            k: (jnp.concatenate([jnp.zeros_like(kk), kk], 0),
+                jnp.concatenate([jnp.zeros_like(vv), vv], 0))
+            for k, (kk, vv) in banks_kv.items()
+        }
         ctx2 = jnp.concatenate([jnp.zeros_like(ctx_cond), ctx_cond], 0).astype(d)
+        ctx_kv2 = precompute_context_kv(
+            dp, ctx2, bank_keys(self.bundle.den.cfg.unet), d
+        )
 
         def step(x, t_pair):
             t, tp = t_pair
             batch = jnp.concatenate([x, x], axis=0)[:, None].astype(d)  # (2,1,h,w,4)
             pred = self.bundle.den.apply(
-                dp, batch, jnp.full((2,), t, jnp.int32), ctx2, banks2
+                dp, batch, jnp.full((2,), t, jnp.int32), ctx2,
+                banks_kv=banks2, ctx_kv=ctx_kv2,
             )[:, 0].astype(jnp.float32)
             noise_pred = pred[0:1] + scale * (pred[1:2] - pred[0:1])
             return self.schedule.step(noise_pred, t, tp, x), None

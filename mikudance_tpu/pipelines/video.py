@@ -43,12 +43,21 @@ except ImportError:  # pragma: no cover
 from ..core import mesh as mesh_lib
 from ..core.configs import PipelineConfig
 from ..diffusion.ddim import DDIMSchedule, inference_step_pairs
-from ..models.unet import DenoisingUNet, GuidanceUNet
+from ..models.unet import (DenoisingUNet, GuidanceUNet, bank_keys,
+                           precompute_context_kv, precompute_reference_kv)
 from ..models.vae import Decoder, Encoder, latent_mean
 from . import context as ctx_sched
 from . import interpolation
 
 SD_LATENT_SCALE = 0.18215
+
+# Step-invariant K/V hoisting toggles (A/B + compile-time bisection knobs):
+# project the reference banks / CLIP context through the reader blocks'
+# K/V kernels ONCE per clip instead of inside every denoise step.
+import os as _os
+
+HOIST_BANK_KV = _os.environ.get("MD_HOIST_BANK_KV", "1") == "1"
+HOIST_CTX_KV = _os.environ.get("MD_HOIST_CTX_KV", "1") == "1"
 
 
 @dataclasses.dataclass
@@ -372,10 +381,24 @@ class VideoPipeline:
         T = noise.shape[0]
         compute_dtype = self.bundle.den.dtype
 
-        # CFG batch: first nw windows uncond (zero banks), last nw cond.
-        banks2 = {
-            k: jnp.concatenate([jnp.zeros_like(v), v], axis=0) for k, v in banks.items()
-        }
+        # Step-invariant K/V hoisting: banks and the CLIP context never change
+        # across DDIM steps, so their attn1/attn2 K/V projections run ONCE
+        # here (outside the scan) instead of inside all `steps` iterations;
+        # the scan receives projected K/V, not raw banks. CFG batch: first nw
+        # windows uncond (zero bank-K/V + zero context — by linearity exactly
+        # the reference's plain-self-attention uncond bypass).
+        if HOIST_BANK_KV:
+            banks_kv = precompute_reference_kv(den_params, banks, compute_dtype)
+            banks2 = {
+                k: (jnp.concatenate([jnp.zeros_like(kk), kk], axis=0),
+                    jnp.concatenate([jnp.zeros_like(vv), vv], axis=0))
+                for k, (kk, vv) in banks_kv.items()
+            }
+        else:
+            banks2 = {
+                k: jnp.concatenate([jnp.zeros_like(v), v], axis=0)
+                for k, v in banks.items()
+            }
         ctx_u = jnp.zeros_like(ctx_cond)
         ctx2 = jnp.concatenate(
             [
@@ -384,16 +407,19 @@ class VideoPipeline:
             ],
             axis=0,
         ).astype(compute_dtype)
+        ctx_kv2 = precompute_context_kv(
+            den_params, ctx2, bank_keys(self.bundle.den.cfg.unet), compute_dtype
+        ) if HOIST_CTX_KV else None
 
         unet_apply = None
         if mesh is not None:
             # SPMD UNet: (2nw, wf) shards over the ('win', 'frame') mesh. The
             # windows axis is collective-free; the frame axis reshards inside
-            # each motion module (all_to_all). Banks are passed 4-D so their
-            # shards line up with the UNet's internal (B*T) frame fold.
-            banks2 = {
-                k: v.reshape((2 * nw, wf) + v.shape[1:]) for k, v in banks2.items()
-            }
+            # each motion module (all_to_all). Bank K/V are passed 4-D so
+            # their shards line up with the UNet's internal (B*T) frame fold.
+            banks2 = jax.tree.map(
+                lambda v: v.reshape((2 * nw, wf) + v.shape[1:]), banks2
+            )
             df = mesh.shape[mesh_lib.FRAME_AXIS]
             den_sh = self.bundle.den.clone(
                 frame_axis=mesh_lib.FRAME_AXIS, frame_shards=df
@@ -401,16 +427,20 @@ class VideoPipeline:
             p_win = P(mesh_lib.WIN_AXIS)
             p_wf = P(mesh_lib.WIN_AXIS, mesh_lib.FRAME_AXIS)
 
-            def unet_local(params, batch, t_b, ctx, banks4):
+            def unet_local(params, batch, t_b, ctx, banks4, ctx_kv):
                 bl, tl = batch.shape[0], batch.shape[1]
                 banks_l = jax.tree.map(
                     lambda x: x.reshape((bl * tl,) + x.shape[2:]), banks4
                 )
-                return den_sh.apply(params, batch, t_b, ctx, banks_l)
+                if HOIST_BANK_KV:
+                    return den_sh.apply(params, batch, t_b, ctx,
+                                        banks_kv=banks_l, ctx_kv=ctx_kv)
+                return den_sh.apply(params, batch, t_b, ctx, banks_l,
+                                    ctx_kv=ctx_kv)
 
             unet_apply = shard_map(
                 unet_local, mesh=mesh,
-                in_specs=(P(), p_wf, p_win, p_win, p_wf),
+                in_specs=(P(), p_wf, p_win, p_win, p_wf, p_win),
                 out_specs=p_wf,
             )
 
@@ -423,9 +453,13 @@ class VideoPipeline:
             batch = jnp.concatenate([win, win], axis=0).astype(compute_dtype)
             t_b = jnp.full((2 * nw,), t, jnp.int32)
             if unet_apply is not None:
-                pred = unet_apply(den_params, batch, t_b, ctx2, banks2)
+                pred = unet_apply(den_params, batch, t_b, ctx2, banks2, ctx_kv2)
+            elif HOIST_BANK_KV:
+                pred = self.bundle.den.apply(den_params, batch, t_b, ctx2,
+                                             banks_kv=banks2, ctx_kv=ctx_kv2)
             else:
-                pred = self.bundle.den.apply(den_params, batch, t_b, ctx2, banks2)
+                pred = self.bundle.den.apply(den_params, batch, t_b, ctx2,
+                                             banks2, ctx_kv=ctx_kv2)
             pred = pred.astype(jnp.float32)  # (2nw, wf, h, w, 4)
 
             pred_u, pred_c = pred[:nw], pred[nw:]
@@ -455,6 +489,9 @@ class VideoPipeline:
         g_ctx: jnp.ndarray,  # (nw*wf, S, 768) guidance CLIP ctx per position
         windows: jnp.ndarray,  # (nw, wf) int32
         counts: jnp.ndarray,  # (T,) float32
+        win_w: jnp.ndarray,  # (nw,) float32: fusion weight per window (0 for
+        # SPMD pad windows — duplicated so the groups split over the shards;
+        # their predictions are masked out of the segment sums)
         ts: jnp.ndarray,
         prev_ts: jnp.ndarray,
         guidance_scale: jnp.ndarray,
@@ -496,6 +533,7 @@ class VideoPipeline:
         gdtype = self.bundle.guide.dtype
         ngroups = nw // group
         win_g = jnp.asarray(windows).reshape(ngroups, group, wf)
+        winw_g = jnp.asarray(win_w, jnp.float32).reshape(ngroups, group)
         gctx_g = g_ctx.reshape((ngroups, group * wf) + g_ctx.shape[1:])
 
         ctx_b = jnp.broadcast_to(
@@ -513,9 +551,9 @@ class VideoPipeline:
                 for k, v in banks_cached.items()
             }
 
-        def denoise_all(gp, dp, win_g_l, gctx_g_l, banks_g_l, cond_a, motion_a,
-                        noise_a, ctx_a, counts_a, ts_a, prev_ts_a, scale_a,
-                        axis=None):
+        def denoise_all(gp, dp, win_g_l, winw_g_l, gctx_g_l, banks_g_l,
+                        cond_a, motion_a, noise_a, ctx_a, counts_a, ts_a,
+                        prev_ts_a, scale_a, axis=None):
             def step_fn(latents, t_pair):
                 t, t_prev = t_pair
                 # Tie the condition stack to the scan carry: the bank
@@ -530,9 +568,9 @@ class VideoPipeline:
                 def group_fn(carry, ginp):
                     sum_u, sum_c = carry
                     if recompute:
-                        w_g, gctx = ginp  # (group, wf), (group*wf, S, 768)
+                        w_g, ww, gctx = ginp  # (group, wf), (group,), (group*wf, S, 768)
                     else:
-                        w_g, banks = ginp
+                        w_g, ww, banks = ginp
                     flat = w_g.reshape(-1)
                     if recompute:
                         t0 = jnp.zeros((group * wf,), jnp.int32)
@@ -546,24 +584,26 @@ class VideoPipeline:
                     win = lat[w_g].astype(cdtype)  # (group, wf, h, w, 4)
                     t_b = jnp.full((group,), t, jnp.int32)
 
-                    def half(m):
-                        # CFG as masked passes: uncond IS zero banks + zero
-                        # CLIP context (no doubled batch, no zero tensors)
-                        banks_h = {
-                            k: v * jnp.asarray(m, v.dtype)
-                            for k, v in banks.items()
-                        }
+                    def half(cond: bool):
+                        # CFG as two passes: uncond IS zero banks + zero CLIP
+                        # context (no doubled batch) — expressed as banks=None
+                        # (ref=None is plain self-attention, the same math)
+                        # so no bank-sized zero-multiplies hit HBM per step.
                         return self.bundle.den.apply(
-                            dp, win, t_b, ctx_a * m, banks_h
+                            dp, win, t_b,
+                            ctx_a if cond else jnp.zeros_like(ctx_a),
+                            banks if cond else None,
                         ).astype(jnp.float32)
 
-                    pu, pc = half(0.0), half(1.0)
+                    pu, pc = half(False), half(True)
+                    # mask pad windows (weight 0) out of the fusion sums
+                    wmask = ww[:, None, None, None, None]
                     sum_u = sum_u + jax.ops.segment_sum(
-                        pu.reshape((group * wf,) + pu.shape[2:]), flat,
+                        (pu * wmask).reshape((group * wf,) + pu.shape[2:]), flat,
                         num_segments=T,
                     )
                     sum_c = sum_c + jax.ops.segment_sum(
-                        pc.reshape((group * wf,) + pc.shape[2:]), flat,
+                        (pc * wmask).reshape((group * wf,) + pc.shape[2:]), flat,
                         num_segments=T,
                     )
                     return (sum_u, sum_c), None
@@ -573,7 +613,8 @@ class VideoPipeline:
                     # the scan's inputs vary over the group-shard axis, so its
                     # carry must be marked varying too (shard_map vma check)
                     zero = jax.lax.pvary(zero, (axis,))
-                xs = (win_g_l, gctx_g_l if recompute else banks_g_l)
+                xs = (win_g_l, winw_g_l,
+                      gctx_g_l if recompute else banks_g_l)
                 (sum_u, sum_c), _ = jax.lax.scan(group_fn, (zero, zero), xs)
                 if axis is not None:
                     sum_u = jax.lax.psum(sum_u, axis)
@@ -592,13 +633,13 @@ class VideoPipeline:
 
         if mesh is None:
             return denoise_all(
-                guide_params, den_params, win_g, gctx_g,
+                guide_params, den_params, win_g, winw_g, gctx_g,
                 None if recompute else banks_g, cond20, motion,
                 noise, ctx_b, counts, ts, prev_ts, do_cfg,
             )
         gmesh = Mesh(mesh.devices.reshape(-1), ("wgrp",))
         rep = (P(),) * 2
-        shard = (P("wgrp"), P("wgrp"), P("wgrp"))
+        shard = (P("wgrp"), P("wgrp"), P("wgrp"), P("wgrp"))
         fn = shard_map(
             partial(denoise_all, axis="wgrp"),
             mesh=gmesh,
@@ -606,7 +647,7 @@ class VideoPipeline:
             out_specs=P(),
         )
         return fn(
-            guide_params, den_params, win_g, gctx_g,
+            guide_params, den_params, win_g, winw_g, gctx_g,
             None if recompute else banks_g, cond20, motion, noise,
             ctx_b, counts, ts, prev_ts, do_cfg,
         )
@@ -824,9 +865,6 @@ class VideoPipeline:
         # per step in window groups (long videos; see _denoise_streamed).
         # A mesh shards the cached banks over its devices, scaling the budget.
         ctx_cond = jnp.asarray(clip_context)
-        g_ctx = guidance_context_for_windows(
-            windows, ctx_cond, jnp.zeros_like(ctx_cond), cfgc.guidance_clip_mode
-        ).astype(self.bundle.guide.dtype)
         if cfgc.bank_mode not in ("auto", "cached", "per_step"):
             raise ValueError(f"unknown bank_mode {cfgc.bank_mode!r}")
         budget = cfgc.cached_bank_positions * (mesh.devices.size if mesh else 1)
@@ -834,30 +872,48 @@ class VideoPipeline:
             cfgc.bank_mode == "auto" and nw * wf > budget
         )
         stream_mesh = None
+        win_eff, win_w = windows, np.ones((nw,), np.float32)
         if per_step and mesh is not None:
             # SPMD bank streaming: window groups shard over the flattened
             # device grid (banks stay group-local, so per-device memory is
-            # the single-device streaming footprint). Needs the group count
-            # to split evenly; otherwise fall back to single-device.
+            # the single-device streaming footprint). The group count must
+            # split evenly over the shards; when it doesn't, PAD with
+            # duplicate zero-weight windows (their predictions are masked
+            # out of the fusion sums — same math, no silent single-device
+            # fallback) as long as one window's banks fit the budget.
             n_dev = mesh.devices.size
             if choose_bank_group(nw, wf, cfgc.cached_bank_positions, n_dev):
                 stream_mesh = mesh
+            elif wf <= cfgc.cached_bank_positions:
+                pad = (-nw) % n_dev  # g=1 always valid at this count
+                win_eff = np.concatenate(
+                    [windows, np.repeat(windows[:1], pad, axis=0)], axis=0
+                )
+                win_w = np.concatenate(
+                    [win_w, np.zeros((pad,), np.float32)], axis=0
+                )
+                stream_mesh = mesh
             else:
                 print(
-                    f"bank streaming: {nw} windows cannot split into "
-                    f"{n_dev} equal group shards; denoise runs single-device"
+                    f"bank streaming: one {wf}-frame window exceeds the "
+                    f"{cfgc.cached_bank_positions}-position bank budget; "
+                    "denoise runs single-device window-by-window"
                 )
+        nw_eff = win_eff.shape[0]
+        g_ctx = guidance_context_for_windows(
+            win_eff, ctx_cond, jnp.zeros_like(ctx_cond), cfgc.guidance_clip_mode
+        ).astype(self.bundle.guide.dtype)
 
         ts, prev_ts = inference_step_pairs(
             self.schedule, steps, spacing=cfgc.scheduler.timestep_spacing
         )
         if per_step:
             group = choose_bank_group(
-                nw, wf, cfgc.cached_bank_positions,
+                nw_eff, wf, cfgc.cached_bank_positions,
                 stream_mesh.devices.size if stream_mesh is not None else 1,
             )
             latents = self._denoise_streamed_chunked(
-                noise, ts, prev_ts, num_windows=nw, window_len=wf,
+                noise, ts, prev_ts, num_windows=nw_eff, window_len=wf,
                 call=lambda lat, ts_c, pts_c: self._denoise_streamed_jit(
                     self.bundle.guide_params,
                     self.bundle.den_params,
@@ -866,12 +922,13 @@ class VideoPipeline:
                     jnp.asarray(scene_motion),
                     ctx_cond,
                     g_ctx,
-                    jnp.asarray(windows),
+                    jnp.asarray(win_eff),
                     counts,
+                    jnp.asarray(win_w),
                     ts_c,
                     pts_c,
                     jnp.float32(scale),
-                    num_windows=nw,
+                    num_windows=nw_eff,
                     window_len=wf,
                     group=group,
                     mesh=stream_mesh,
@@ -907,6 +964,7 @@ class VideoPipeline:
                         g_ctx,
                         jnp.asarray(windows),
                         counts,
+                        jnp.asarray(win_w),
                         ts_c,
                         pts_c,
                         jnp.float32(scale),

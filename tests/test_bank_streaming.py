@@ -139,6 +139,26 @@ def test_streamed_sharded_equals_single_device(bundle):
     np.testing.assert_allclose(sharded, single, atol=2e-5, rtol=1e-5)
 
 
+def test_streamed_sharded_pads_nondividing_windows(bundle):
+    """VERDICT r3 item 7: when the window count does NOT split into equal
+    group shards (6 windows, 8 devices), the pipeline pads with duplicate
+    zero-weight windows instead of silently falling back to single-device —
+    and the masked fusion sums keep the result identical."""
+    base = PipelineConfig(
+        width=W, height=H, num_inference_steps=2, guidance_scale=3.5,
+        context=ContextConfig(frames=3, overlap=1), guidance_clip_mode="cond",
+        bank_mode="per_step", cached_bank_positions=3,
+    )
+    inputs = _inputs()
+    single = np.asarray(VideoPipeline(bundle, base)(*inputs, decode=False))
+    # T=6 / 3-frame windows -> nw=6; 6 groups cannot split over 8 devices,
+    # so the mesh path must pad to 8 windows (2 zero-weight duplicates)
+    assert choose_bank_group(6, 3, budget_positions=3, n_shards=8) is None
+    sharded_pipe = VideoPipeline(bundle, base, devices=jax.devices()[:8])
+    sharded = np.asarray(sharded_pipe(*inputs, decode=False))
+    np.testing.assert_allclose(sharded, single, atol=2e-5, rtol=1e-5)
+
+
 def test_choose_bank_group_sharded():
     assert choose_bank_group(6, 3, budget_positions=3, n_shards=2) == 1
     assert choose_bank_group(6, 3, budget_positions=9, n_shards=2) == 3
