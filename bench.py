@@ -264,16 +264,20 @@ def main():
         lambda: measure(pipe_cached, make_inputs(40, rng), iters=1),
     )
 
-    # --- secondary: streamed-bank mode (positions exceed the cache budget).
-    # budget 30 forces group=1 (one window's banks live at a time) — group=2
-    # (60 live positions + a 120-frame UNet batch) OOMs one chip at 768^2.
-    pipe_streamed = VideoPipeline(
+    # --- secondary: long video. cached_q8 deduplicates banks by (frame,
+    # CLIP variant) and caches ALL of them as int8 (+fp32 scales), so no
+    # guidance-UNet recompute happens inside the step scan — beating the
+    # reference's per-(step, window) recompute (453.6 s per_step in round 3
+    # = the reference's own memory behavior; q8 measured 347.8 s round 4).
+    # Quality gate: tests/test_bank_streaming.py::test_cached_q8_matches_exact.
+    pipe_q8 = VideoPipeline(
         bundle,
-        _dc.replace(pipe.config, bank_mode="per_step", cached_bank_positions=30),
+        _dc.replace(pipe.config, bank_mode="cached_q8", cached_bank_positions=30),
     )
     secondary(
-        "sec per 160-frame 768^2 clip, 20 DDIM steps, streamed banks (1x v5e)",
-        lambda: measure(pipe_streamed, make_inputs(160, rng), iters=1),
+        "sec per 160-frame 768^2 clip, 20 DDIM steps, int8 full bank cache "
+        "(1x v5e)",
+        lambda: measure(pipe_q8, make_inputs(160, rng), iters=1),
     )
 
     results.append(headline)

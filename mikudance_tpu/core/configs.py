@@ -155,8 +155,13 @@ class PipelineConfig:
     # group's banks live (the reference's own memory behavior,
     # `pipeline_mikudance.py:647-653`, which recomputes per window x step).
     # "auto" picks cached while nw*wf <= cached_bank_positions (scaled by the
-    # mesh size when sharded), else per_step.
-    bank_mode: str = "auto"  # "auto" | "cached" | "per_step"
+    # mesh size when sharded), else per_step. "cached_q8" caches ALL
+    # positions' banks as int8 + per-position fp32 scales (~26 MB/position —
+    # half of bf16), trading ~0.4% bank quantization error (measured >>35 dB
+    # on the final video) for eliminating the per-(step, group) guidance
+    # recompute on long videos; single-chip mode (a mesh falls back to SPMD
+    # per_step streaming).
+    bank_mode: str = "auto"  # "auto" | "cached" | "per_step" | "cached_q8"
     cached_bank_positions: int = 64
     # per-UNet-call frame cap for the grouped denoise paths (a 768^2
     # full-window batch materializes multi-GB GEGLU intermediates; past this

@@ -160,12 +160,25 @@ class FusedLayerNorm(nn.Module):
 # form forces. Keep False; the flag stays for probes.
 DENSE_2D = False
 
+# Narrower probe: flatten ONLY the 4-D (B, T, P, C) motion-module operands
+# (xprof round 4: their dots conv-ify over the (B, T) dims with windows like
+# {size=2x16 pad=1_1x15_15 rhs_reversal} — padded-window MXU waste the 3-D
+# spatial dots don't pay). Toggled via MD_DENSE_2D_4D for A/B on the chip.
+import os as _os
+
+DENSE_2D_4D = _os.environ.get("MD_DENSE_2D_4D", "0") == "1"
+
+
+def _flatten_for_dot(ndim: int) -> bool:
+    return DENSE_2D or (DENSE_2D_4D and ndim == 4)
+
 
 def dense_2d(layer: nn.Dense, x: jnp.ndarray) -> jnp.ndarray:
     """Apply a channel ``Dense`` on flattened 2-D ``(tokens, C)`` operands
-    when ``DENSE_2D`` is set (see the rejection note above); otherwise the
-    Dense consumes the N-D operand directly."""
-    if not DENSE_2D or x.ndim <= 2:
+    when ``DENSE_2D`` (all) or ``DENSE_2D_4D`` (4-D motion-module tensors
+    only) is set — see the rejection/probe notes above; otherwise the Dense
+    consumes the N-D operand directly."""
+    if x.ndim <= 2 or not _flatten_for_dot(x.ndim):
         return layer(x)
     shape = x.shape
     y = layer(x.reshape(-1, shape[-1]))
@@ -238,7 +251,13 @@ class Attention(nn.Module):
 
     def _mm(self, x: jnp.ndarray, *kernels, bias=None) -> jnp.ndarray:
         w = kernels[0] if len(kernels) == 1 else jnp.concatenate(kernels, axis=1)
-        y = x.astype(self.dtype) @ w.astype(self.dtype)
+        xc = x.astype(self.dtype)
+        if _flatten_for_dot(x.ndim) and x.ndim > 2:
+            y = (xc.reshape(-1, x.shape[-1]) @ w.astype(self.dtype)).reshape(
+                x.shape[:-1] + (w.shape[-1],)
+            )
+        else:
+            y = xc @ w.astype(self.dtype)
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y

@@ -236,6 +236,35 @@ def build_condition_stack(
     return jnp.concatenate([ref, skel, pose_latents, face_latents, hand_latents], axis=-1)
 
 
+def quantize_banks(banks: Dict[str, jnp.ndarray]):
+    """Symmetric per-position int8 quantization of reference banks.
+
+    Banks are LayerNormed hidden states (O(1) scale, zero-mean-ish) consumed
+    as additive attention-K/V inputs — per-(position, key) scales keep the
+    quantization error ~0.4% relative, far inside the 35 dB parity budget
+    (tests/test_bank_streaming.py::test_cached_q8_matches_exact). int8 halves
+    the bank bytes vs bf16, which is what lets a long video cache ALL
+    (window, position) banks on one chip instead of recomputing them per
+    (step, group) through the guidance UNet — the reference's long-video
+    memory behavior (`pipeline_mikudance.py:647-653`) beaten, not matched.
+
+    Returns (values int8, scales fp32 (n, 1, 1)) dicts."""
+    qv, qs = {}, {}
+    for k, v in banks.items():
+        vf = v.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(vf), axis=(1, 2), keepdims=True)
+        s = jnp.maximum(amax, 1e-8) / 127.0
+        qv[k] = jnp.clip(jnp.round(vf / s), -127, 127).astype(jnp.int8)
+        qs[k] = s
+    return qv, qs
+
+
+def dequantize_banks(qv, qs, dtype) -> Dict[str, jnp.ndarray]:
+    return {
+        k: (qv[k].astype(jnp.float32) * qs[k]).astype(dtype) for k in qv
+    }
+
+
 def choose_bank_group(num_windows: int, window_len: int, budget_positions: int,
                       n_shards: int = 1) -> Optional[int]:
     """Largest divisor g of num_windows with g*window_len <= budget (min 1):
@@ -314,6 +343,36 @@ class VideoPipeline:
         self._decode_jit = jax.jit(self._decode, static_argnames=("mesh",))
         self._banks_jit = jax.jit(self._compute_banks, static_argnames=("mesh",))
         self._interp_jit = jax.jit(interpolation.interpolate_latents, static_argnums=(1, 2))
+        self._quant_jit = jax.jit(quantize_banks)
+        # donated in-place fill of the preallocated int8 cache (no 2x copy)
+        self._bank_fill_jit = jax.jit(
+            lambda buf, piece, i: jax.tree.map(
+                lambda b, p: jax.lax.dynamic_update_slice_in_dim(b, p, i, 0),
+                buf, piece,
+            ),
+            donate_argnums=0,
+        )
+
+    def _compute_banks_q8(self, gp, window_cond, window_motion, g_ctx, chunk):
+        """All (window, position) banks, guidance UNet streamed in position
+        chunks, quantized to int8 as they are produced (peak extra memory =
+        one chunk's bf16 banks). Returns the (values, scales) tuple consumed
+        by ``_denoise_streamed``'s quantized cache path."""
+        n = window_cond.shape[0]
+        chunk = max(1, min(chunk, n))
+        buf = None
+        for i in range(0, n, chunk):
+            b = self._banks_jit(
+                gp, window_cond[i:i + chunk], window_motion[i:i + chunk],
+                g_ctx[i:i + chunk], mesh=None,
+            )
+            piece = self._quant_jit(b)
+            if buf is None:
+                buf = jax.tree.map(
+                    lambda p: jnp.zeros((n,) + p.shape[1:], p.dtype), piece
+                )
+            buf = self._bank_fill_jit(buf, piece, jnp.int32(i))
+        return buf
 
     # ------------------------------------------------------------------ banks
     def _compute_banks(
@@ -496,7 +555,11 @@ class VideoPipeline:
         prev_ts: jnp.ndarray,
         guidance_scale: jnp.ndarray,
         banks_cached=None,  # dict of (ngroups, group*wf, S, C): precomputed
-        # banks per group (the cached-grouped mode); None -> recompute per step
+        # banks per group (the cached-grouped mode); None -> recompute per step.
+        # An (int8 values, fp32 scales) TUPLE is the deduplicated quantized
+        # cache (bank_mode="cached_q8"): full (n_unique, S, C) buffers the
+        # group scan gathers from via ``bank_idx``.
+        bank_idx=None,  # (nw*wf,) int32 position -> unique-bank row (q8 only)
         *,
         num_windows: int,
         window_len: int,
@@ -541,7 +604,14 @@ class VideoPipeline:
         ).astype(cdtype)
         do_cfg = guidance_scale
         recompute = banks_cached is None
-        if not recompute:
+        quantized = isinstance(banks_cached, tuple)
+        if quantized:
+            # deduplicated int8 cache: full (n_unique, S, C) buffers stay a
+            # scan constant; each group gathers + dequantizes only its own
+            # (group*wf) rows via bank_idx
+            q_vals, q_scales = banks_cached
+            idx_g = bank_idx.reshape(ngroups, group * wf)
+        elif not recompute:
             # banks arrive FLAT (nw*wf, S, C) and reshape here, inside jit:
             # a host-side reshape of a concrete device array materializes a
             # second ~GB-scale copy that then lives through decode (observed
@@ -569,6 +639,13 @@ class VideoPipeline:
                     sum_u, sum_c = carry
                     if recompute:
                         w_g, ww, gctx = ginp  # (group, wf), (group,), (group*wf, S, 768)
+                    elif quantized:
+                        w_g, ww, idx = ginp  # idx: (group*wf,) unique-bank rows
+                        banks = dequantize_banks(
+                            {k: q_vals[k][idx] for k in q_vals},
+                            {k: q_scales[k][idx] for k in q_scales},
+                            cdtype,
+                        )
                     else:
                         w_g, ww, banks = ginp
                     flat = w_g.reshape(-1)
@@ -613,8 +690,12 @@ class VideoPipeline:
                     # the scan's inputs vary over the group-shard axis, so its
                     # carry must be marked varying too (shard_map vma check)
                     zero = jax.lax.pvary(zero, (axis,))
-                xs = (win_g_l, winw_g_l,
-                      gctx_g_l if recompute else banks_g_l)
+                if quantized:
+                    xs = (win_g_l, winw_g_l, idx_g)
+                elif recompute:
+                    xs = (win_g_l, winw_g_l, gctx_g_l)
+                else:
+                    xs = (win_g_l, winw_g_l, banks_g_l)
                 (sum_u, sum_c), _ = jax.lax.scan(group_fn, (zero, zero), xs)
                 if axis is not None:
                     sum_u = jax.lax.psum(sum_u, axis)
@@ -634,7 +715,8 @@ class VideoPipeline:
         if mesh is None:
             return denoise_all(
                 guide_params, den_params, win_g, winw_g, gctx_g,
-                None if recompute else banks_g, cond20, motion,
+                banks_g if (not recompute and not quantized) else None,
+                cond20, motion,
                 noise, ctx_b, counts, ts, prev_ts, do_cfg,
             )
         gmesh = Mesh(mesh.devices.reshape(-1), ("wgrp",))
@@ -865,11 +947,19 @@ class VideoPipeline:
         # per step in window groups (long videos; see _denoise_streamed).
         # A mesh shards the cached banks over its devices, scaling the budget.
         ctx_cond = jnp.asarray(clip_context)
-        if cfgc.bank_mode not in ("auto", "cached", "per_step"):
+        if cfgc.bank_mode not in ("auto", "cached", "per_step", "cached_q8"):
             raise ValueError(f"unknown bank_mode {cfgc.bank_mode!r}")
+        # cached_q8: ALL positions' banks live on-chip as int8 (+fp32 scales)
+        # — ~26 MB/position at 768^2 vs ~52 MB bf16 — so long videos skip the
+        # per-(step, group) guidance-UNet recompute entirely (the reference
+        # pays it every step x window, `pipeline_mikudance.py:647-653`).
+        # Currently a single-chip mode; multi-chip long video uses the SPMD
+        # per_step streaming below.
+        q8 = cfgc.bank_mode == "cached_q8" and mesh is None
         budget = cfgc.cached_bank_positions * (mesh.devices.size if mesh else 1)
         per_step = cfgc.bank_mode == "per_step" or (
-            cfgc.bank_mode == "auto" and nw * wf > budget
+            cfgc.bank_mode in ("auto", "cached_q8") and not q8
+            and nw * wf > budget
         )
         stream_mesh = None
         win_eff, win_w = windows, np.ones((nw,), np.float32)
@@ -936,15 +1026,47 @@ class VideoPipeline:
             )
             mark("denoise_streamed", latents)
         else:
-            banks = self._banks_jit(
-                self.bundle.guide_params,
-                cond20[flat].astype(self.bundle.guide.dtype),
-                jnp.asarray(scene_motion)[flat].astype(self.bundle.guide.dtype),
-                g_ctx,
-                mesh=mesh,
-            )
+            bank_idx = None
+            if q8:
+                # Deduplicate before caching: a bank depends only on
+                # (frame, CLIP-context variant) — never on the window a
+                # position sits in — so the cache holds one entry per unique
+                # pair (~T entries) instead of one per (window, position)
+                # (~1.4T with overlapping windows). The variant parity must
+                # mirror guidance_context_for_windows (asserted in tests).
+                gdt = self.bundle.guide.dtype
+                if cfgc.guidance_clip_mode == "cond":
+                    use_uncond = np.zeros(nw * wf, np.int64)
+                else:  # "reference_inference" interleaved [u, c] tiling
+                    use_uncond = np.tile(
+                        (np.arange(wf) + wf) % 2 == 0, nw
+                    ).astype(np.int64)
+                pairs = flat.astype(np.int64) * 2 + use_uncond
+                uniq, inv = np.unique(pairs, return_inverse=True)
+                bank_idx = inv.astype(np.int32)
+                u_frames = (uniq // 2).astype(np.int32)
+                u_mask = jnp.asarray((uniq % 2).astype(bool))[:, None, None]
+                g_ctx_u = jnp.where(
+                    u_mask, jnp.zeros_like(ctx_cond), ctx_cond
+                ).astype(gdt)
+                banks = self._compute_banks_q8(
+                    self.bundle.guide_params,
+                    cond20[u_frames].astype(gdt),
+                    jnp.asarray(scene_motion)[u_frames].astype(gdt),
+                    g_ctx_u,
+                    chunk=cfgc.cached_bank_positions,
+                )
+            else:
+                banks = self._banks_jit(
+                    self.bundle.guide_params,
+                    cond20[flat].astype(self.bundle.guide.dtype),
+                    jnp.asarray(scene_motion)[flat].astype(self.bundle.guide.dtype),
+                    g_ctx,
+                    mesh=mesh,
+                )
             mark("guidance_banks", banks)
-            if mesh is None and nw * wf > cfgc.max_denoise_frame_batch and nw > 1:
+            if q8 or (mesh is None and nw * wf > cfgc.max_denoise_frame_batch
+                      and nw > 1):
                 # cached-GROUPED: all banks fit, but one UNet batch over every
                 # window does not (e.g. 2x30 windows at 768^2) — scan window
                 # groups with the banks precomputed above. A mesh instead
@@ -969,6 +1091,7 @@ class VideoPipeline:
                         pts_c,
                         jnp.float32(scale),
                         banks,
+                        None if bank_idx is None else jnp.asarray(bank_idx),
                         num_windows=nw,
                         window_len=wf,
                         group=group,

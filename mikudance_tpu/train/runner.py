@@ -51,6 +51,19 @@ class MetricsLogger:
         if self._mlflow:
             self._mlflow.log_metrics(metrics, step=step)
 
+    def log_artifact(self, step: int, path: str) -> None:
+        """Validation media to the tracker: mlflow artifact when attached
+        (the reference logs validation GIFs to mlflow,
+        `train_stage1.py:698-706`); the JSONL records the path either way."""
+        rec = {"step": step, "time": time.time(), "artifact": path}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self._mlflow:
+            try:
+                self._mlflow.log_artifact(path, artifact_path=f"step_{step}")
+            except Exception:
+                pass
+
 
 @dataclasses.dataclass
 class EncoderFns:
@@ -183,7 +196,11 @@ def train_loop(
             if step % checkpointing_steps == 0:
                 ckpt_lib.save_state(mgr, step, jax.device_get(state))
             if validation_fn and step % validation_steps == 0:
-                validation_fn(step, state)
+                # a returned path is validation media: route it to the
+                # tracker (mlflow artifact / JSONL record)
+                artifact = validation_fn(step, state)
+                if isinstance(artifact, str):
+                    logger.log_artifact(step, artifact)
             if export_fn and step % save_model_steps == 0:
                 export_fn(step, state)
         if not saw_batch:

@@ -227,6 +227,7 @@ def main():
         os.makedirs(os.path.dirname(path), exist_ok=True)
         Image.fromarray(grid).save(path)
         print(f"validation image: {path}")
+        return path  # train_loop logs it to the tracker (mlflow artifact)
 
     def export_fn(step, state):
         ckpt_lib.export_params(

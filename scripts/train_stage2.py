@@ -254,6 +254,7 @@ def main():
         path = os.path.join(out_dir, "validation", f"step_{step}.gif")
         save_video_grid([b["tgt_pose"][0], video], path, fps=8)
         print(f"validation gif: {path}")
+        return path  # train_loop logs it to the tracker (mlflow artifact)
 
     def export_fn(step, state):
         # deployable motion-module-only dict (train_stage2.py:898-926) + full

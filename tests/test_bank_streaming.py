@@ -101,6 +101,34 @@ def test_streamed_equals_cached(bundle, mode):
     np.testing.assert_allclose(streamed, cached, atol=1e-4, rtol=1e-4)
 
 
+def test_cached_q8_matches_exact(bundle):
+    """bank_mode="cached_q8": the int8 full-position bank cache (which frees
+    long videos from per-(step, group) guidance recompute) must stay within
+    the parity budget of the exact cached path. PSNR here is on the decoded
+    uint8 video — the same yardstick as the 35 dB reference-parity bar."""
+    base = PipelineConfig(
+        width=W, height=H, num_inference_steps=2, guidance_scale=3.5,
+        context=ContextConfig(frames=3, overlap=1), guidance_clip_mode="cond",
+        max_denoise_frame_batch=6,  # forces the grouped (streamed) denoiser
+    )
+    inputs = _inputs()
+    exact = np.asarray(
+        VideoPipeline(bundle, dataclasses.replace(base, bank_mode="cached"))(
+            *inputs
+        )
+    ).astype(np.float32)
+    q8 = np.asarray(
+        VideoPipeline(
+            bundle,
+            dataclasses.replace(base, bank_mode="cached_q8",
+                                cached_bank_positions=3),
+        )(*inputs)
+    ).astype(np.float32)
+    mse = float(np.mean((exact - q8) ** 2))
+    psnr = 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert psnr >= 40.0, f"cached_q8 vs exact PSNR {psnr:.1f} dB < 40"
+
+
 def test_auto_mode_picks_streaming_past_budget(bundle):
     cfg = PipelineConfig(
         width=W, height=H, num_inference_steps=2,
