@@ -280,6 +280,41 @@ def main():
         lambda: measure(pipe_q8, make_inputs(160, rng), iters=1),
     )
 
+    # --- secondary: XPose/UniPose keypoint extraction at the video driver's
+    # geometry (10-frame batches, 900 queries — the reference's
+    # get_unipose_output_batch processes 10 frames per forward). Random
+    # weights (parity vs the torch reference is proven separately in
+    # tests/test_unipose_parity.py); fp32, as the tool wrapper runs it.
+    def xpose_case():
+        from mikudance_tpu.toolbox.unipose import UniPose
+
+        model = UniPose()
+        rng2 = jax.random.PRNGKey(0)
+        B, Hx, Wx = 10, 800, 800
+        img = jnp.asarray(rng.normal(0, 1, (B, Hx, Wx, 3)).astype(np.float32))
+        obj = jnp.asarray(rng.normal(0, 1, (B, 4, 512)).astype(np.float32))
+        msk = jnp.ones((B, 4), bool)
+        kpt = jnp.asarray(rng.normal(0, 1, (B, 68, 512)).astype(np.float32))
+        vis = jnp.ones((B, 68), np.float32)
+        from mikudance_tpu.utils.profiling import force
+
+        params = jax.jit(model.init)(rng2, img[:1], obj[:1], msk[:1],
+                                     kpt[:1], vis[:1])
+        fwd = jax.jit(model.apply)
+        force(fwd(params, img, obj, msk, kpt, vis))  # compile + warmup
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force(fwd(params, img, obj, msk, kpt, vis))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    secondary(
+        "sec per 10-frame UniPose-SwinT keypoint forward (800^2, 900 queries,"
+        " 1x v5e)",
+        xpose_case,
+    )
+
     results.append(headline)
     with open("bench_results.json", "w") as f:
         json.dump(results, f, indent=1)

@@ -96,3 +96,19 @@ def test_gradcheck_vs_torch():
     loss = (out.permute(0, 2, 1, 3).reshape(B, Q, Hh * D) * torch.from_numpy(g_out)).sum()
     loss.backward()
     np.testing.assert_allclose(got, vt.grad.numpy(), atol=1e-4, rtol=1e-3)
+
+
+def test_query_chunked_equals_dense():
+    """The streamed (q_chunk) evaluation must be numerically identical to the
+    one-shot dense path — chunking exists purely to bound the gather
+    working set (the UniPose encoder's Q=13294 OOMs a 16 GB chip unchunked)."""
+    value, locs, w = _inputs(7)
+    dense = np.asarray(
+        ms_deform_attn(jnp.asarray(value), SHAPES, jnp.asarray(locs),
+                       jnp.asarray(w), q_chunk=Q)
+    )
+    chunked = np.asarray(
+        ms_deform_attn(jnp.asarray(value), SHAPES, jnp.asarray(locs),
+                       jnp.asarray(w), q_chunk=max(1, Q // 3))
+    )
+    np.testing.assert_allclose(chunked, dense, atol=1e-6, rtol=1e-6)
