@@ -60,7 +60,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: f
     v = v_ref[...].astype(jnp.bfloat16)  # (bk, D)
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
     ) * scale  # (bq, bk) fp32
 
     m_prev = m_ref[:, :1]
@@ -71,7 +71,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: f
     l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
     )  # (bq, D)
     acc_ref[...] = acc_ref[...] * correction + pv
     m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -101,7 +101,7 @@ def _flash_kernel_resident(q_ref, k_ref, v_ref, o_ref, *, k_block: int, scale: f
         k = k_ref[pl.ds(i * k_block, k_block), :].astype(jnp.bfloat16)
         v = v_ref[pl.ds(i * k_block, k_block), :].astype(jnp.bfloat16)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
         ) * scale
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -109,7 +109,7 @@ def _flash_kernel_resident(q_ref, k_ref, v_ref, o_ref, *, k_block: int, scale: f
         l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
         )
         return m_new, l_new, acc * correction + pv
 
@@ -188,12 +188,12 @@ def _flash_kernel_fullc_resident(q_ref, k_ref, v_ref, o_ref, *, heads: int,
             kh = k_ref[0, pl.ds(j * k_block, k_block), lo : lo + hd].astype(jnp.bfloat16)
             vh = v_ref[0, pl.ds(j * k_block, k_block), lov : lov + hv].astype(jnp.bfloat16)
             s = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
             )  # log2-domain scores: scale*log2(e) folded into q
             p = jnp.exp2(jnp.clip(s - off, -_EXP_CLAMP, _EXP_CLAMP)).astype(jnp.bfloat16)
             pv = jax.lax.dot_general(
                 p, vh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
             )  # fused: (qb, hd+1), last column = rowsum(p)
             if fuse_ones:
                 l_new = l + pv[:, hd:]
@@ -232,12 +232,12 @@ def _flash_kernel_fullc_stream(q_ref, k_ref, v_ref, o_ref, l_ref, acc_ref,
         kh = k_ref[0, :, lo : lo + hd].astype(jnp.bfloat16)
         vh = v_ref[0, :, lov : lov + hv].astype(jnp.bfloat16)
         s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
         )  # log2-domain scores
         p = jnp.exp2(jnp.clip(s - off, -_EXP_CLAMP, _EXP_CLAMP)).astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
             p, vh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
         )  # fused: (qb, hd+1), last column = rowsum(p) from the same MXU pass
         if fuse_ones:
             l_new = l_ref[:, h : h + 1] + pv[:, hd:]
@@ -402,7 +402,7 @@ def _flash_kernel_fullc_t(qt_ref, k_ref, vt_ref, ot_ref, *, heads: int,
             vh = vt_ref[0, lok : lok + hk, pl.ds(j * k_block, k_block)]
             s_t = jax.lax.dot_general(
                 kh.astype(jnp.bfloat16), qh_aug, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
             )  # (bk, qb): s - off in the log2 domain
             # two-sided clamp, same role as in the other kernels: the lower
             # side keeps every weight >= 2^-100 so the denominator can never
@@ -411,7 +411,7 @@ def _flash_kernel_fullc_t(qt_ref, k_ref, vt_ref, ot_ref, *, heads: int,
             p_t = jnp.exp2(jnp.clip(s_t, -_EXP_CLAMP, _EXP_CLAMP)).astype(jnp.bfloat16)
             pv_t = jax.lax.dot_general(
                 vh.astype(jnp.bfloat16), p_t, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
             )  # (hk, qb): rows :hd = V^T P^T, row hd = colsum(P^T)
             return l + pv_t[hd : hd + 8], acc + pv_t[:hd]
 
@@ -529,13 +529,13 @@ def _flash_kernel_fullc_nt(q_ref, k_ref, v_ref, o_ref, *, heads: int,
             k_aug = jnp.concatenate([kh, ones], axis=1)  # (bk, hd+1)
             s_t = jax.lax.dot_general(
                 k_aug, q_aug, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
             )  # (bk, qb) = (s - off) in the log2 domain
             p_t = jnp.exp2(jnp.clip(s_t, -_EXP_CLAMP, _EXP_CLAMP)).astype(jnp.bfloat16)
             v_aug = jnp.concatenate([vh, ones], axis=1)  # (bk, hd+1)
             pv_t = jax.lax.dot_general(
                 v_aug, p_t, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
             )  # (hd+1, qb): rows :hd = V^T P^T, row hd = colsum(P^T)
             return l + pv_t[hd : hd + 1], acc + pv_t[:hd]
 
@@ -616,7 +616,7 @@ def _cross_kernel_fullc(q_ref, k_ref, v_ref, o_ref, *, heads: int,
         kh = k_ref[0, :, lo : lo + hd].astype(jnp.bfloat16)
         vh = v_ref[0, :, lo : lo + hd].astype(jnp.bfloat16)
         s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
         )
         s = jnp.where(pad_mask, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -624,7 +624,7 @@ def _cross_kernel_fullc(q_ref, k_ref, v_ref, o_ref, *, heads: int,
         l = jnp.sum(p, axis=-1, keepdims=True)
         p = (p / l).astype(jnp.bfloat16)
         o_ref[0, :, lo : lo + hd] = jax.lax.dot_general(
-            p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
         ).astype(o_ref.dtype)
 
 

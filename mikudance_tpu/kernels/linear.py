@@ -36,7 +36,7 @@ RESIDENT_W_BYTES = 8 * 1024 * 1024
 
 
 def linear_ref(x, w, b, residual=None):
-    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
     if b is not None:
         y = y + b.astype(jnp.float32)
     y = y.astype(x.dtype)
@@ -48,7 +48,7 @@ def linear_ref(x, w, b, residual=None):
 def _linear_kernel(x_ref, w_ref, b_ref, o_ref):
     y = jax.lax.dot_general(
         x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
     ) + b_ref[0].astype(jnp.float32)
     o_ref[...] = y.astype(o_ref.dtype)
 
@@ -56,7 +56,7 @@ def _linear_kernel(x_ref, w_ref, b_ref, o_ref):
 def _linear_res_kernel(x_ref, w_ref, b_ref, r_ref, o_ref):
     y = jax.lax.dot_general(
         x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
     ) + b_ref[0].astype(jnp.float32)
     o_ref[...] = y.astype(o_ref.dtype) + r_ref[...]
 

@@ -45,7 +45,7 @@ def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, T: int, heads: int, scale: f
         kh = k_ref[:, sl].astype(jnp.bfloat16)
         vh = v_ref[:, sl].astype(jnp.bfloat16)
         s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
         )
         s = jnp.where(mask, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -54,7 +54,7 @@ def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, T: int, heads: int, scale: f
         p = (p / l).astype(jnp.bfloat16)
         outs.append(
             jax.lax.dot_general(
-                p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
             )
         )
     o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
@@ -142,7 +142,7 @@ def _temporal_kernel_btpc(q_ref, k_ref, v_ref, o_ref, *, T: int, pb: int,
         kh = k[:, sl].astype(jnp.bfloat16)
         vh = v[:, sl].astype(jnp.bfloat16)
         s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
         )
         s = jnp.where(mask, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -151,7 +151,7 @@ def _temporal_kernel_btpc(q_ref, k_ref, v_ref, o_ref, *, T: int, pb: int,
         p = (p / l).astype(jnp.bfloat16)
         outs.append(
             jax.lax.dot_general(
-                p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
             )
         )
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype).reshape(Tq, pbq, C)
@@ -169,7 +169,7 @@ def temporal_attention_xla(q, k, v, heads):
 
     qh, kh, vh = split(q), split(k), split(v)
     s = jnp.einsum("btphd,bsphd->bphts", qh, kh,
-                   preferred_element_type=jnp.float32) * scale
+                   preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT) * scale
     w = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     o = jnp.einsum("bphts,bsphd->btphd", w, vh)
     return o.reshape(B, T, P, C)

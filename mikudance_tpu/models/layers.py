@@ -128,26 +128,35 @@ class FusedGroupNorm(nn.Module):
 class FusedLayerNorm(nn.Module):
     """Drop-in for ``nn.LayerNorm`` (same param names/shapes: scale, bias)
     that runs the Pallas row-major kernel when
-    ``kernels.layer_norm.PREFER_PALLAS`` is set."""
+    ``kernels.layer_norm.PREFER_PALLAS`` is set. ``dim`` may be left 0 only
+    when the module is always called (shape inferred at first call is not
+    supported by setup-style params, so all call sites pass their width)."""
 
+    dim: int
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+
+    def weights(self):
+        return self.scale, self.bias
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from ..kernels import layer_norm as _ln
 
-        C = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         if _ln.PREFER_PALLAS:
-            return _ln.fused_layer_norm(x, scale, bias, self.epsilon).astype(self.dtype)
+            return _ln.fused_layer_norm(
+                x, self.scale, self.bias, self.epsilon).astype(self.dtype)
         # flax-style fast variance (E[x^2] - E[x]^2): ONE data pass for the
         # stats — the two-pass layer_norm_ref cost ~20 ms/step at 768^2
         xf = x.astype(jnp.float32)
         mu = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
-        y = (xf - mu) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        y = (xf - mu) * jax.lax.rsqrt(var + self.epsilon) * self.scale + self.bias
         return y.astype(self.dtype)
 
 
@@ -167,6 +176,10 @@ DENSE_2D = False
 import os as _os
 
 DENSE_2D_4D = _os.environ.get("MD_DENSE_2D_4D", "0") == "1"
+
+# Route the read-mode TransformerBlock interior through an unbroken row-major
+# Pallas chain (see TransformerBlock._chain). A/B knob for the real chip.
+PALLAS_CHAIN = _os.environ.get("MD_PALLAS_CHAIN", "0") == "1"
 
 
 def _flatten_for_dot(ndim: int) -> bool:
@@ -262,6 +275,12 @@ class Attention(nn.Module):
             y = y + bias.astype(self.dtype)
         return y
 
+    def proj_weights(self):
+        """Raw projection weights for the Pallas-chain path (TransformerBlock
+        orchestrates the matmuls through row-major kernels there)."""
+        return (self.to_q.kernel, self.to_k.kernel, self.to_v.kernel,
+                self.to_out.kernel, self.to_out.bias)
+
     def project_kv(self, ctx: jnp.ndarray):
         """The K/V projections alone — the step-invariant half that callers
         hoist out of the denoise scan (used by the ``precompute_*_kv``
@@ -311,13 +330,25 @@ class GEGLUFeedForward(nn.Module):
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         inner = self.dim * self.mult
-        hidden_gate = dense_2d(nn.Dense(inner * 2, dtype=self.dtype, name="proj"), x)
-        hidden, gate = jnp.split(hidden_gate, 2, axis=-1)
+        self.proj = AttnProj(self.dim, inner * 2, True, name="proj")
+        self.out = AttnProj(inner, self.dim, True, name="out")
+
+    def _mm(self, x, p: AttnProj) -> jnp.ndarray:
+        xc = x.astype(self.dtype)
+        w = p.kernel.astype(self.dtype)
+        if _flatten_for_dot(x.ndim) and x.ndim > 2:
+            y = (xc.reshape(-1, x.shape[-1]) @ w).reshape(
+                x.shape[:-1] + (w.shape[-1],))
+        else:
+            y = xc @ w
+        return y + p.bias.astype(self.dtype)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        hidden, gate = jnp.split(self._mm(x, self.proj), 2, axis=-1)
         x = hidden * nn.gelu(gate, approximate=False)
-        return dense_2d(nn.Dense(self.dim, dtype=self.dtype, name="out"), x)
+        return self._mm(x, self.out)
 
 
 class TransformerBlock(nn.Module):
@@ -348,10 +379,25 @@ class TransformerBlock(nn.Module):
         ctx_kv=None,
     ):
         FF = nn.remat(GEGLUFeedForward) if self.remat else GEGLUFeedForward
-        norm_h = FusedLayerNorm(1e-5, dtype=self.dtype, name="norm1")(x)
+        norm1 = FusedLayerNorm(self.dim, 1e-5, dtype=self.dtype, name="norm1")
+        attn1 = Attention(self.dim, self.heads, dtype=self.dtype, name="attn1")
+        norm2_mod = FusedLayerNorm(self.dim, 1e-5, dtype=self.dtype, name="norm2")
+        attn2 = Attention(
+            self.dim, self.heads, kv_dim=self.cross_dim, dtype=self.dtype, name="attn2"
+        )
+        norm3_mod = FusedLayerNorm(self.dim, 1e-5, dtype=self.dtype, name="norm3")
+        ffm = FF(self.dim, dtype=self.dtype, name="ff")
+
+        if (PALLAS_CHAIN and not write and not self.remat and x.ndim == 3
+                and ref is None and ctx_kv is not None):
+            return self._chain(
+                x, norm1, attn1, norm2_mod, attn2, norm3_mod, ffm,
+                ref_kv, ctx_kv,
+            ), None
+
+        norm_h = norm1(x)
         bank_out = norm_h if write else None
 
-        attn1 = Attention(self.dim, self.heads, dtype=self.dtype, name="attn1")
         if ref_kv is not None:
             # banks precomputed through attn1's own K/V kernels (additive
             # injection in projected space; zeros for the uncond half)
@@ -361,15 +407,58 @@ class TransformerBlock(nn.Module):
         else:
             x = x + attn1(norm_h)
 
-        norm2 = FusedLayerNorm(1e-5, dtype=self.dtype, name="norm2")(x)
-        attn2 = Attention(
-            self.dim, self.heads, kv_dim=self.cross_dim, dtype=self.dtype, name="attn2"
-        )
+        norm2 = norm2_mod(x)
         x = x + attn2(norm2, context, kv=ctx_kv)
 
-        norm3 = FusedLayerNorm(1e-5, dtype=self.dtype, name="norm3")(x)
-        x = x + FF(self.dim, dtype=self.dtype, name="ff")(norm3)
+        norm3 = norm3_mod(x)
+        x = x + ffm(norm3)
         return x, bank_out
+
+    def _chain(self, x, norm1, attn1, norm2_mod, attn2, norm3_mod, ffm,
+               ref_kv, ctx_kv):
+        """The whole block interior as an UNBROKEN row-major Pallas chain
+        (LN -> q/k/v matmuls -> flash attention -> out+residual -> LN ->
+        cross-q -> attention -> out+residual -> LN -> GEGLU matmuls), so XLA
+        never assigns token-minor layouts between the attention custom calls
+        — the round-3 finding was that PIECEWISE Pallas replacement loses to
+        the conv-anchored layout tax at each boundary; the chain leaves only
+        the proj_in/proj_out boundaries to XLA. Same math as the standard
+        path (kernels are parity-tested); inference-only (no remat path)."""
+        from ..kernels.layer_norm import fused_layer_norm as pl_ln
+        from ..kernels.linear import fused_linear
+
+        B, S, C = x.shape
+        dt = self.dtype
+        x2 = x.reshape(B * S, C)
+        s1, b1 = norm1.weights()
+        hn = pl_ln(x2, s1, b1, 1e-5).astype(dt)
+        wq, wk, wv, wo, bo = attn1.proj_weights()
+        rk, rv = ref_kv if ref_kv is not None else (None, None)
+        q = fused_linear(hn, wq, None)
+        k = fused_linear(hn, wk, None,
+                         None if rk is None else rk.reshape(B * S, C).astype(dt))
+        v = fused_linear(hn, wv, None,
+                         None if rv is None else rv.reshape(B * S, C).astype(dt))
+        a1 = run_attention(q.reshape(B, S, C), k.reshape(B, S, C),
+                           v.reshape(B, S, C), self.heads)
+        x2 = fused_linear(a1.reshape(B * S, C), wo, bo, residual=x2)
+
+        s2, b2 = norm2_mod.weights()
+        n2 = pl_ln(x2, s2, b2, 1e-5).astype(dt)
+        wq2, _, _, wo2, bo2 = attn2.proj_weights()
+        q2 = fused_linear(n2, wq2, None)
+        ck, cv = ctx_kv
+        a2 = run_attention(q2.reshape(B, S, C), ck.astype(dt), cv.astype(dt),
+                           self.heads)
+        x2 = fused_linear(a2.reshape(B * S, C), wo2, bo2, residual=x2)
+
+        s3, b3 = norm3_mod.weights()
+        n3 = pl_ln(x2, s3, b3, 1e-5).astype(dt)
+        hg = fused_linear(n3, ffm.proj.kernel, ffm.proj.bias)
+        hidden, gate = jnp.split(hg, 2, axis=-1)
+        hf = hidden * nn.gelu(gate, approximate=False)
+        x2 = fused_linear(hf, ffm.out.kernel, ffm.out.bias, residual=x2)
+        return x2.reshape(B, S, C)
 
 
 class SpatialTransformer(nn.Module):

@@ -124,7 +124,8 @@ class MotionModule(nn.Module):
         for b in range(self.num_transformer_blocks):
             for a in range(self.attention_layers):
                 normed = FusedLayerNorm(
-                    1e-5, dtype=self.dtype, name=f"blocks_{b}_norm_{a}"
+                    self.dim, 1e-5, dtype=self.dtype,
+                    name=f"blocks_{b}_norm_{a}"
                 )(h)
                 h = h + TAL(
                     self.dim,
@@ -135,7 +136,7 @@ class MotionModule(nn.Module):
                     name=f"blocks_{b}_attn_{a}",
                 )(normed)
             ff_norm = FusedLayerNorm(
-                1e-5, dtype=self.dtype, name=f"blocks_{b}_ff_norm"
+                self.dim, 1e-5, dtype=self.dtype, name=f"blocks_{b}_ff_norm"
             )(h)
             h = h + FF(self.dim, dtype=self.dtype, name=f"blocks_{b}_ff")(
                 ff_norm

@@ -139,9 +139,17 @@ def run_real(args):
     tguide = TUNet(ch, 2, 8, 768, in_ch=20, man=True)
     tden = TUNet(ch, 2, 8, 768, in_ch=4, motion=True)
 
+    # Expected per-file key counts, derived from the twin grammar at SD1.5
+    # widths (README "Weights day"): any released dict deviating from these
+    # is flagged before the strict load even runs.
+    EXPECTED_KEYS = {"reference_unet": 710, "denoising_unet": 686,
+                     "motion_module": 546}
+
     def grammar():
         # Released dicts into the torch twins strict=True: any key the twin
         # grammar does not produce is a conversion blind spot.
+        counts = {"reference_unet": len(ref_sd), "denoising_unet": len(den_sd),
+                  "motion_module": len(mm_sd)}
         tguide.load_state_dict(
             {k: torch.as_tensor(np.asarray(v)) for k, v in ref_sd.items()},
             strict=True)
@@ -150,8 +158,9 @@ def run_real(args):
         tden.load_state_dict(
             {k: torch.as_tensor(np.asarray(v)) for k, v in merged.items()},
             strict=True)
-        return {"ok": True, "ref_keys": len(ref_sd), "den_keys": len(den_sd),
-                "mm_keys": len(mm_sd)}
+        return {"ok": True, **{f"{k}_keys": v for k, v in counts.items()},
+                "expected_keys": EXPECTED_KEYS,
+                "key_counts_match": counts == EXPECTED_KEYS}
 
     _stage(verdict, "convert", grammar)
     if not verdict["stages"]["convert"].get("ok"):

@@ -144,3 +144,17 @@ def test_inference_video_cli_end_to_end(tmp_path, monkeypatch):
     assert diff < 20.0, f"ref row diverges from the source image (mad={diff:.1f})"
     # the near-black skeleton row keeps its thin lines rather than saturating
     assert rows[1].mean() < 30.0 and rows[1].std() > 1.0
+
+
+@pytest.mark.slow
+def test_verify_parity_selfcheck():
+    """The weights-day gate's --selfcheck mode: the full machinery (twin
+    build -> converter -> oracle -> PSNR) must pass today with synthetic
+    weights, so weights day is a data swap, not a code debug."""
+    import argparse
+
+    from scripts import verify_parity
+
+    verdict = verify_parity.run_selfcheck(argparse.Namespace())
+    assert verdict["pass"], verdict
+    assert verdict["stages"]["e2e_psnr"]["psnr_db"] >= 35.0
