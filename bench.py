@@ -238,10 +238,21 @@ def main():
     # safety print: if a secondary bench hard-crashes the TPU worker, the
     # last JSON line on stdout is still the (already measured) headline
     print(json.dumps(headline), flush=True)
+    import gc
 
-    # --- secondary: long video, multi-window fusion (T=64 > context 30,
-    # cached banks -> the segment-sum window-fusion path) ---
+    del inputs
+    gc.collect()
+    jax.clear_caches()  # free the headline programs' HBM before secondaries
+    gc.collect()
+
+    # --- secondary cases. Each builds its pipeline, runs, then drops every
+    # reference + clears jit executable caches: later cases otherwise OOM on
+    # the leftovers of earlier ones (measured round 4: the q8 T=160 case —
+    # which fits a fresh process with GBs to spare — RESOURCE_EXHAUSTED when
+    # run after the headline + T=40 cases in one process). The memory-
+    # heaviest case runs first for the same reason.
     import dataclasses as _dc
+    import gc as _gc
 
     def secondary(metric, fn):
         try:
@@ -250,34 +261,46 @@ def main():
         except Exception as e:
             results.append({"metric": metric,
                             "error": f"{type(e).__name__}: {e}"})
+        _gc.collect()
+        jax.clear_caches()  # drop device executables (persistent cache
+        # makes the recompiles cheap); frees their HBM reservations
+        _gc.collect()
+
+    # --- long video. cached_q8 deduplicates banks by (frame, CLIP variant)
+    # and caches ALL of them as int8 (+fp32 scales), so no guidance-UNet
+    # recompute happens inside the step scan — beating the reference's
+    # per-(step, window) recompute (453.6 s per_step in round 3 = the
+    # reference's own memory behavior; q8 measured 347.8 s round 4).
+    # Quality gate: tests/test_bank_streaming.py::test_cached_q8_matches_exact.
+    def q8_case():
+        pipe_q8 = VideoPipeline(
+            bundle,
+            _dc.replace(pipe.config, bank_mode="cached_q8",
+                        cached_bank_positions=30),
+        )
+        return measure(pipe_q8, make_inputs(160, rng), iters=1)
+
+    secondary(
+        "sec per 160-frame 768^2 clip, 20 DDIM steps, int8 full bank cache "
+        "(1x v5e)",
+        q8_case,
+    )
 
     # T=40 -> 2 windows of 30 (the smallest multi-window case): all banks
     # cached + both windows denoised in one batch. T=64 (3 windows, a 180-
     # frame UNet batch + 4.7 GB of banks) exceeds one chip's 16 GB.
-    pipe_cached = VideoPipeline(
-        bundle,
-        _dc.replace(pipe.config, bank_mode="cached", cached_bank_positions=128),
-    )
+    def cached_case():
+        pipe_cached = VideoPipeline(
+            bundle,
+            _dc.replace(pipe.config, bank_mode="cached",
+                        cached_bank_positions=128),
+        )
+        return measure(pipe_cached, make_inputs(40, rng), iters=1)
+
     secondary(
         "sec per 40-frame 768^2 clip, 20 DDIM steps, multi-window cached "
         "fusion (1x v5e)",
-        lambda: measure(pipe_cached, make_inputs(40, rng), iters=1),
-    )
-
-    # --- secondary: long video. cached_q8 deduplicates banks by (frame,
-    # CLIP variant) and caches ALL of them as int8 (+fp32 scales), so no
-    # guidance-UNet recompute happens inside the step scan — beating the
-    # reference's per-(step, window) recompute (453.6 s per_step in round 3
-    # = the reference's own memory behavior; q8 measured 347.8 s round 4).
-    # Quality gate: tests/test_bank_streaming.py::test_cached_q8_matches_exact.
-    pipe_q8 = VideoPipeline(
-        bundle,
-        _dc.replace(pipe.config, bank_mode="cached_q8", cached_bank_positions=30),
-    )
-    secondary(
-        "sec per 160-frame 768^2 clip, 20 DDIM steps, int8 full bank cache "
-        "(1x v5e)",
-        lambda: measure(pipe_q8, make_inputs(160, rng), iters=1),
+        cached_case,
     )
 
     # --- secondary: XPose/UniPose keypoint extraction at the video driver's
