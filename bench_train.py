@@ -58,6 +58,14 @@ def run_step(T: int):
     cfg = TrainConfig(trainable_substrings=("motion", "man_"))  # stage-2 freeze set
     schedule = DDIMSchedule.create(beta_schedule="scaled_linear")
     state, tx = init_train_state(cfg, gp, dp, frozen_dtype=DTYPE)
+    # the fp32 init trees stay alive as locals otherwise — ~9 GB of HBM the
+    # 16 GB chip cannot spare next to the ~12.4 GB step (frozen leaves were
+    # COPIED to bf16 by init_train_state; trainable leaves are shared and
+    # survive this del)
+    import gc
+
+    del gp, dp
+    gc.collect()
     step = jax.jit(make_train_step(cfg, schedule, guide, den, tx), donate_argnums=0)
 
     rnp = np.random.default_rng(0)

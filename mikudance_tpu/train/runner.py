@@ -134,7 +134,11 @@ def train_loop(
     # double-buffering ~9 GB of params + moments (see bench_train.py, which
     # measured both as required to fit a 16 GB chip).
     state, tx = init_train_state(cfg, guide_params, den_params, frozen_dtype=frozen_dtype)
-    mgr = ckpt_lib.make_manager(os.path.join(output_dir, "checkpoints"), keep=3)
+    # drop the input trees: when a caller passes DEVICE arrays (the CLI
+    # trainers pass host numpy, but tests/benches init on device), the fp32
+    # originals of every frozen-partition leaf would otherwise stay resident
+    # next to their bf16 copies for the whole run
+    del guide_params, den_params
     state, start_step = ckpt_lib.restore_state(mgr, state)
     if start_step:
         print(f"resumed from checkpoint step {start_step}")
