@@ -221,17 +221,20 @@ def main():
     except Exception as e:
         phases, tfs, mfu = {"error": f"{type(e).__name__}: {e}"}, None, None
     phase_sum = sum(v for v in phases.values() if isinstance(v, float))
+    # self-consistency GATE (round-3 lesson): the phase medians must roughly
+    # reassemble the clean end-to-end median, else the breakdown is
+    # instrumentation noise — in that case the breakdown is NOT quoted
+    # (phases_s nulled, raw values parked under phases_raw_s for debugging).
+    consistent = bool(abs(phase_sum - sec) <= 0.15 * sec)
     headline = {
         "metric": METRIC,
         "value": round(sec, 3),
         "unit": "s",
         "vs_baseline": round(8.0 / sec, 3),
-        "phases_s": phases,
-        # self-consistency gate (round-3 lesson): the phase medians must
-        # roughly reassemble the clean end-to-end median, else the breakdown
-        # is instrumentation noise and must not be quoted
+        "phases_s": phases if consistent else None,
         "phases_sum_s": round(phase_sum, 3),
-        "phases_consistent": bool(abs(phase_sum - sec) <= 0.15 * sec),
+        "phases_consistent": consistent,
+        **({} if consistent else {"phases_raw_s": phases}),
         "denoise_tflops_per_s": round(tfs, 1) if tfs else None,
         "denoise_mfu_bf16": round(mfu, 3) if mfu else None,
     }

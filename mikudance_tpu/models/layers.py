@@ -181,9 +181,64 @@ DENSE_2D_4D = _os.environ.get("MD_DENSE_2D_4D", "0") == "1"
 # Pallas chain (see TransformerBlock._chain). A/B knob for the real chip.
 PALLAS_CHAIN = _os.environ.get("MD_PALLAS_CHAIN", "0") == "1"
 
+# W8A8 dynamic-int8 projection/FF dots (VERDICT r4 #2): v5e's int8 MXU peak
+# is 2x bf16, and the projection/FF dot region is pinned at ~25 TF/s bf16
+# across five rejected bf16-shape experiment families. Both operands quantize
+# to int8 (weights per-output-channel — loop-invariant, LICM-hoisted out of
+# the step scan; activations per-token dynamic abs-max) and the dot
+# accumulates int32. Quality-gated by the SD-width PSNR methodology
+# (PSNR_SD.json); accept/reject recorded in PROFILE.md.
+#   "ff"   = GEGLU feed-forward dots only (the widest, most int8-tolerant)
+#   "proj" = ff + attention q/k/v/out projections
+#   "all"  = proj + spatial-transformer proj_in/proj_out
+INT8_DOTS = _os.environ.get("MD_INT8_DOTS", "off")
+
+
+def int8_dot(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """``x @ w`` on the int8 MXU: per-token dynamic activation scales,
+    per-output-channel weight scales, int32 accumulation, fp32 rescale.
+    x: (..., K); w: (K, N). Returns fp32 (caller casts)."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.round(xf / sx).astype(jnp.int8)
+    wf = w.astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=0, keepdims=True), 1e-8) / 127.0
+    wq = jnp.round(wf / sw).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * sx * sw
+
 
 def _flatten_for_dot(ndim: int) -> bool:
     return DENSE_2D or (DENSE_2D_4D and ndim == 4)
+
+
+class _Int8Dense(nn.Dense):
+    """``nn.Dense`` twin (same param tree: kernel, bias) that runs the dot on
+    the int8 MXU — the INT8_DOTS="all" tier for proj_in/proj_out."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        y = int8_dot(x, kernel)
+        if self.use_bias:
+            bias = self.param(
+                "bias", self.bias_init, (self.features,), self.param_dtype)
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+def proj_dense(features: int, dtype, name: str, **kw) -> nn.Dense:
+    """``nn.Dense`` factory for the 1x1-conv projections (proj_in/proj_out):
+    swaps in the int8-MXU twin under INT8_DOTS="all". Flax registers module
+    names at construction, so the choice must happen before the ctor."""
+    cls = _Int8Dense if INT8_DOTS == "all" else nn.Dense
+    return cls(features, dtype=dtype, name=name, **kw)
 
 
 def dense_2d(layer: nn.Dense, x: jnp.ndarray) -> jnp.ndarray:
@@ -263,6 +318,11 @@ class Attention(nn.Module):
         self.to_out = AttnProj(d, d, True, name="to_out")
 
     def _mm(self, x: jnp.ndarray, *kernels, bias=None) -> jnp.ndarray:
+        if INT8_DOTS in ("proj", "all") and len(kernels) == 1:
+            y = int8_dot(x, kernels[0])
+            if bias is not None:
+                y = y + bias.astype(jnp.float32)
+            return y.astype(self.dtype)
         w = kernels[0] if len(kernels) == 1 else jnp.concatenate(kernels, axis=1)
         xc = x.astype(self.dtype)
         if _flatten_for_dot(x.ndim) and x.ndim > 2:
@@ -336,6 +396,9 @@ class GEGLUFeedForward(nn.Module):
         self.out = AttnProj(inner, self.dim, True, name="out")
 
     def _mm(self, x, p: AttnProj) -> jnp.ndarray:
+        if INT8_DOTS in ("ff", "proj", "all"):
+            y = int8_dot(x, p.kernel) + p.bias.astype(jnp.float32)
+            return y.astype(self.dtype)
         xc = x.astype(self.dtype)
         w = p.kernel.astype(self.dtype)
         if _flatten_for_dot(x.ndim) and x.ndim > 2:
@@ -491,12 +554,12 @@ class SpatialTransformer(nn.Module):
         h = FusedGroupNorm(self.norm_groups, 1e-6, dtype=self.dtype, name="norm")(x)
         # SD1.5 uses a 1x1 conv projection (use_linear_projection=False); on a
         # NHWC token layout that's exactly a Dense over the channel axis.
-        h = dense_2d(nn.Dense(self.dim, dtype=self.dtype, name="proj_in"), h)
+        h = dense_2d(proj_dense(self.dim, self.dtype, "proj_in"), h)
         h = h.reshape(B, H * W, self.dim)
         h, bank = TransformerBlock(
             self.dim, self.heads, self.cross_dim, dtype=self.dtype,
             remat=self.remat, name="block"
         )(h, context, ref=ref, write=write, ref_kv=ref_kv, ctx_kv=ctx_kv)
-        h = dense_2d(nn.Dense(C, dtype=self.dtype, name="proj_out"), h)
+        h = dense_2d(proj_dense(C, self.dtype, "proj_out"), h)
         h = h.reshape(B, H, W, C)
         return h + residual, bank

@@ -26,7 +26,7 @@ import numpy as np
 from flax import linen as nn
 
 from .layers import (Attention, FusedGroupNorm, FusedLayerNorm,
-                     GEGLUFeedForward, dense_2d)
+                     GEGLUFeedForward, dense_2d, proj_dense)
 
 
 def temporal_positional_encoding(max_len: int, dim: int) -> np.ndarray:
@@ -105,7 +105,7 @@ class MotionModule(nn.Module):
         h = x.reshape(B * T, H, W, C)
         h = FusedGroupNorm(self.norm_groups, 1e-6, dtype=self.dtype, name="norm")(h)
         h = h.reshape(B, T, H * W, C)
-        h = dense_2d(nn.Dense(self.dim, dtype=self.dtype, name="proj_in"), h)
+        h = dense_2d(proj_dense(self.dim, self.dtype, "proj_in"), h)
         # tokens stay (B, T, P, C): per-position temporal attention reads this
         # layout directly (4D path in kernels dispatch)
 
@@ -151,8 +151,8 @@ class MotionModule(nn.Module):
                     h, self.frame_axis, split_axis=1, concat_axis=2, tiled=True
                 )
 
-        h = dense_2d(nn.Dense(
-            C, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out"
+        h = dense_2d(proj_dense(
+            C, self.dtype, "proj_out", kernel_init=nn.initializers.zeros
         ), h)
         h = h.reshape(B, T, H, W, C)
         return h + residual

@@ -35,8 +35,12 @@ def scene_motion_flow(
     h, w = depth.shape
     Km = jnp.asarray(_k_matrix(K), dtype=jnp.float32)
 
-    xs = jnp.arange(-(w // 2), w - w // 2, dtype=jnp.float32)
-    ys = jnp.arange(-(h // 2), h - h // 2, dtype=jnp.float32)
+    # Python floor-division semantics, matching the reference's
+    # ``np.arange(-width // 2, width // 2)`` (scene_motion_tracking.py:18-19):
+    # for ODD sizes the grid starts at -(w+1)//2, not -(w//2).
+    x0, y0 = -w // 2, -h // 2
+    xs = jnp.arange(x0, x0 + w, dtype=jnp.float32)
+    ys = jnp.arange(y0, y0 + h, dtype=jnp.float32)
     xx, yy = jnp.meshgrid(xs, ys)  # (h, w)
     zz = 100.0 - depth.astype(jnp.float32) * 50.0
 
@@ -70,8 +74,9 @@ def scene_motion_flow_np(w2c, c2w, depth, K=DEFAULT_K) -> np.ndarray:
     h, w = depth.shape
     Km = _k_matrix(K)
 
-    xs = np.arange(-(w // 2), w - w // 2, dtype=np.float64)
-    ys = np.arange(-(h // 2), h - h // 2, dtype=np.float64)
+    x0, y0 = -w // 2, -h // 2  # Python floor division: reference grid origin
+    xs = np.arange(x0, x0 + w, dtype=np.float64)
+    ys = np.arange(y0, y0 + h, dtype=np.float64)
     xx, yy = np.meshgrid(xs, ys)
     zz = 100.0 - depth.astype(np.float64) * 50.0
     pts = np.stack([xx.ravel(), yy.ravel(), zz.ravel(), np.ones(h * w)], axis=-1)

@@ -607,8 +607,10 @@ class VideoPipeline:
         quantized = isinstance(banks_cached, tuple)
         if quantized:
             # deduplicated int8 cache: full (n_unique, S, C) buffers stay a
-            # scan constant; each group gathers + dequantizes only its own
-            # (group*wf) rows via bank_idx
+            # scan constant (replicated under SPMD — int8 + dedup keeps them
+            # ~4x below the fp32 per-position footprint); each group gathers
+            # + dequantizes only its own (group*wf) rows via bank_idx, so the
+            # gather is local to every device's group shard.
             q_vals, q_scales = banks_cached
             idx_g = bank_idx.reshape(ngroups, group * wf)
         elif not recompute:
@@ -622,8 +624,8 @@ class VideoPipeline:
             }
 
         def denoise_all(gp, dp, win_g_l, winw_g_l, gctx_g_l, banks_g_l,
-                        cond_a, motion_a, noise_a, ctx_a, counts_a, ts_a,
-                        prev_ts_a, scale_a, axis=None):
+                        q_const, cond_a, motion_a, noise_a, ctx_a, counts_a,
+                        ts_a, prev_ts_a, scale_a, axis=None):
             def step_fn(latents, t_pair):
                 t, t_prev = t_pair
                 # Tie the condition stack to the scan carry: the bank
@@ -641,9 +643,10 @@ class VideoPipeline:
                         w_g, ww, gctx = ginp  # (group, wf), (group,), (group*wf, S, 768)
                     elif quantized:
                         w_g, ww, idx = ginp  # idx: (group*wf,) unique-bank rows
+                        qv, qs = q_const
                         banks = dequantize_banks(
-                            {k: q_vals[k][idx] for k in q_vals},
-                            {k: q_scales[k][idx] for k in q_scales},
+                            {k: qv[k][idx] for k in qv},
+                            {k: qs[k][idx] for k in qs},
                             cdtype,
                         )
                     else:
@@ -690,12 +693,9 @@ class VideoPipeline:
                     # the scan's inputs vary over the group-shard axis, so its
                     # carry must be marked varying too (shard_map vma check)
                     zero = jax.lax.pvary(zero, (axis,))
-                if quantized:
-                    xs = (win_g_l, winw_g_l, idx_g)
-                elif recompute:
-                    xs = (win_g_l, winw_g_l, gctx_g_l)
-                else:
-                    xs = (win_g_l, winw_g_l, banks_g_l)
+                # the banks slot carries gctx (recompute), the (ngroups,
+                # group*wf) bank_idx rows (quantized), or the banks themselves
+                xs = (win_g_l, winw_g_l, gctx_g_l if recompute else banks_g_l)
                 (sum_u, sum_c), _ = jax.lax.scan(group_fn, (zero, zero), xs)
                 if axis is not None:
                     sum_u = jax.lax.psum(sum_u, axis)
@@ -712,11 +712,19 @@ class VideoPipeline:
             )
             return latents
 
+        if quantized:
+            bank_slot = idx_g  # sharded with the groups; the gather is local
+            q_const = (q_vals, q_scales)  # replicated dedup'd int8 buffers
+        elif recompute:
+            bank_slot = None
+            q_const = None
+        else:
+            bank_slot = banks_g
+            q_const = None
         if mesh is None:
             return denoise_all(
-                guide_params, den_params, win_g, winw_g, gctx_g,
-                banks_g if (not recompute and not quantized) else None,
-                cond20, motion,
+                guide_params, den_params, win_g, winw_g, gctx_g, bank_slot,
+                q_const, cond20, motion,
                 noise, ctx_b, counts, ts, prev_ts, do_cfg,
             )
         gmesh = Mesh(mesh.devices.reshape(-1), ("wgrp",))
@@ -725,12 +733,12 @@ class VideoPipeline:
         fn = shard_map(
             partial(denoise_all, axis="wgrp"),
             mesh=gmesh,
-            in_specs=rep + shard + (P(),) * 8,
+            in_specs=rep + shard + (P(),) * 9,
             out_specs=P(),
         )
         return fn(
             guide_params, den_params, win_g, winw_g, gctx_g,
-            None if recompute else banks_g, cond20, motion, noise,
+            bank_slot, q_const, cond20, motion, noise,
             ctx_b, counts, ts, prev_ts, do_cfg,
         )
 
@@ -787,8 +795,13 @@ class VideoPipeline:
         decoders; the temporal decoder's 16-frame chunk is its numerical unit
         and decodes whole (`pipeline_mikudance.py:81,132-150`)."""
         dec = self.bundle.vae_dec
-        if getattr(dec, "frames_coupled", False):
-            return np.asarray(self._decode_jit(self.bundle.vae_dec_params, latents))
+        # The temporal decoder's numerical unit is its 16-frame chunk, and
+        # _decode_chunked already splits at those boundaries inside one
+        # program — so dispatching per-chunk executions here is the SAME math,
+        # but lets chunk i's D2H copy ride under chunk i+1's decode (VERDICT
+        # r4 #7). For T == one chunk this degenerates to decode-then-fetch
+        # (the chunk is indivisible); for long videos it hides all but the
+        # last chunk's transfer.
         chunk = min(getattr(dec, "decode_chunk", 4), latents.shape[0])
         N = latents.shape[0]
         parts = []
@@ -953,28 +966,31 @@ class VideoPipeline:
         # — ~26 MB/position at 768^2 vs ~52 MB bf16 — so long videos skip the
         # per-(step, group) guidance-UNet recompute entirely (the reference
         # pays it every step x window, `pipeline_mikudance.py:647-653`).
-        # Currently a single-chip mode; multi-chip long video uses the SPMD
-        # per_step streaming below.
-        q8 = cfgc.bank_mode == "cached_q8" and mesh is None
+        # Under SPMD the dedup'd int8 buffers replicate (they are already ~4x
+        # below fp32 per-position size) and the window GROUPS shard, same as
+        # bank streaming — each device's gather indexes only its own groups.
+        q8 = cfgc.bank_mode == "cached_q8"
         budget = cfgc.cached_bank_positions * (mesh.devices.size if mesh else 1)
         per_step = cfgc.bank_mode == "per_step" or (
-            cfgc.bank_mode in ("auto", "cached_q8") and not q8
-            and nw * wf > budget
+            cfgc.bank_mode == "auto" and nw * wf > budget
         )
         stream_mesh = None
         win_eff, win_w = windows, np.ones((nw,), np.float32)
-        if per_step and mesh is not None:
-            # SPMD bank streaming: window groups shard over the flattened
-            # device grid (banks stay group-local, so per-device memory is
-            # the single-device streaming footprint). The group count must
-            # split evenly over the shards; when it doesn't, PAD with
-            # duplicate zero-weight windows (their predictions are masked
-            # out of the fusion sums — same math, no silent single-device
-            # fallback) as long as one window's banks fit the budget.
+        if (per_step or q8) and mesh is not None:
+            # SPMD bank streaming / sharded q8: window groups shard over the
+            # flattened device grid (streamed banks stay group-local, so
+            # per-device memory is the single-device streaming footprint).
+            # The group count must split evenly over the shards; when it
+            # doesn't, PAD with duplicate zero-weight windows (their
+            # predictions are masked out of the fusion sums — same math, no
+            # silent single-device fallback) as long as one window fits the
+            # relevant budget (bank memory for streaming, UNet batch for q8).
             n_dev = mesh.devices.size
-            if choose_bank_group(nw, wf, cfgc.cached_bank_positions, n_dev):
+            budget_pos = (cfgc.cached_bank_positions if per_step
+                          else cfgc.max_denoise_frame_batch)
+            if choose_bank_group(nw, wf, budget_pos, n_dev):
                 stream_mesh = mesh
-            elif wf <= cfgc.cached_bank_positions:
+            elif wf <= budget_pos:
                 pad = (-nw) % n_dev  # g=1 always valid at this count
                 win_eff = np.concatenate(
                     [windows, np.repeat(windows[:1], pad, axis=0)], axis=0
@@ -984,9 +1000,10 @@ class VideoPipeline:
                 )
                 stream_mesh = mesh
             else:
+                kind = ("bank" if per_step else "UNet-batch")
                 print(
                     f"bank streaming: one {wf}-frame window exceeds the "
-                    f"{cfgc.cached_bank_positions}-position bank budget; "
+                    f"{budget_pos}-position {kind} budget; "
                     "denoise runs single-device window-by-window"
                 )
         nw_eff = win_eff.shape[0]
@@ -1036,12 +1053,12 @@ class VideoPipeline:
                 # mirror guidance_context_for_windows (asserted in tests).
                 gdt = self.bundle.guide.dtype
                 if cfgc.guidance_clip_mode == "cond":
-                    use_uncond = np.zeros(nw * wf, np.int64)
+                    use_uncond = np.zeros(nw_eff * wf, np.int64)
                 else:  # "reference_inference" interleaved [u, c] tiling
                     use_uncond = np.tile(
-                        (np.arange(wf) + wf) % 2 == 0, nw
+                        (np.arange(wf) + wf) % 2 == 0, nw_eff
                     ).astype(np.int64)
-                pairs = flat.astype(np.int64) * 2 + use_uncond
+                pairs = win_eff.reshape(-1).astype(np.int64) * 2 + use_uncond
                 uniq, inv = np.unique(pairs, return_inverse=True)
                 bank_idx = inv.astype(np.int32)
                 u_frames = (uniq // 2).astype(np.int32)
@@ -1069,13 +1086,15 @@ class VideoPipeline:
                       and nw > 1):
                 # cached-GROUPED: all banks fit, but one UNet batch over every
                 # window does not (e.g. 2x30 windows at 768^2) — scan window
-                # groups with the banks precomputed above. A mesh instead
-                # shards the full window batch over its devices.
+                # groups with the banks precomputed above. q8 under a mesh
+                # shards the groups (stream_mesh); plain cached-grouped is a
+                # single-chip path (a mesh takes the full-batch branch below).
+                n_sh = stream_mesh.devices.size if stream_mesh is not None else 1
                 group = choose_bank_group(
-                    nw, wf, cfgc.max_denoise_frame_batch
+                    nw_eff, wf, cfgc.max_denoise_frame_batch, n_sh
                 ) or 1
                 latents = self._denoise_streamed_chunked(
-                    noise, ts, prev_ts, num_windows=nw, window_len=wf,
+                    noise, ts, prev_ts, num_windows=nw_eff, window_len=wf,
                     call=lambda lat, ts_c, pts_c: self._denoise_streamed_jit(
                         self.bundle.guide_params,
                         self.bundle.den_params,
@@ -1084,7 +1103,7 @@ class VideoPipeline:
                         jnp.asarray(scene_motion),
                         ctx_cond,
                         g_ctx,
-                        jnp.asarray(windows),
+                        jnp.asarray(win_eff),
                         counts,
                         jnp.asarray(win_w),
                         ts_c,
@@ -1092,10 +1111,10 @@ class VideoPipeline:
                         jnp.float32(scale),
                         banks,
                         None if bank_idx is None else jnp.asarray(bank_idx),
-                        num_windows=nw,
+                        num_windows=nw_eff,
                         window_len=wf,
                         group=group,
-                        mesh=None,
+                        mesh=stream_mesh,
                     ),
                 )
                 del banks  # free ~GBs of cached banks before decode runs

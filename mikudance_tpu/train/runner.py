@@ -139,6 +139,7 @@ def train_loop(
     # originals of every frozen-partition leaf would otherwise stay resident
     # next to their bf16 copies for the whole run
     del guide_params, den_params
+    mgr = ckpt_lib.make_manager(os.path.join(output_dir, "checkpoints"), keep=3)
     state, start_step = ckpt_lib.restore_state(mgr, state)
     if start_step:
         print(f"resumed from checkpoint step {start_step}")

@@ -10,6 +10,23 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+# MD_COMPILER_OPTIONS: JSON dict of XLA compiler options injected into every
+# jax.jit — unlike XLA_FLAGS (parsed by the LOCAL client, which does not know
+# the TPU backend's flags), these ride the ExecutableBuildOptions to the
+# remote axon compiler. Used by probes/_flag_sweep.py.
+import json as _json
+import os as _os
+
+_OPTS = _json.loads(_os.environ.get("MD_COMPILER_OPTIONS", "null"))
+if _OPTS:
+    _orig_jit = jax.jit
+
+    def _jit(*a, **kw):
+        kw.setdefault("compiler_options", _OPTS)
+        return _orig_jit(*a, **kw)
+
+    jax.jit = _jit
+
 from mikudance_tpu.kernels import flash_attention as fa
 
 # arg grammar: "on"/"off" toggles TRANSPOSED_FULLC; "nodense2d" suffix

@@ -129,6 +129,32 @@ def test_cached_q8_matches_exact(bundle):
     assert psnr >= 40.0, f"cached_q8 vs exact PSNR {psnr:.1f} dB < 40"
 
 
+def test_cached_q8_sharded_equals_single(bundle):
+    """VERDICT r4 item 4: cached_q8 under SPMD — the dedup'd int8 bank
+    buffers replicate, the window GROUPS shard (with zero-weight padding
+    when they don't divide), and the result must equal single-device q8
+    exactly up to psum reduction order."""
+    base = PipelineConfig(
+        width=W, height=H, num_inference_steps=2, guidance_scale=3.5,
+        context=ContextConfig(frames=3, overlap=1), guidance_clip_mode="cond",
+        bank_mode="cached_q8", max_denoise_frame_batch=6,
+        cached_bank_positions=3,
+    )
+    inputs = _inputs()
+    single = np.asarray(VideoPipeline(bundle, base)(*inputs, decode=False))
+    # nw=6: groups split evenly over 2 devices; over 8 only via the
+    # zero-weight window padding — exercise both. Tolerance: the sharded
+    # schedule uses a different group size (1 vs 2), so the dequantized-bank
+    # segment sums accumulate in a different order.
+    for n_dev in (2, 8):
+        sharded = np.asarray(
+            VideoPipeline(bundle, base, devices=jax.devices()[:n_dev])(
+                *inputs, decode=False
+            )
+        )
+        np.testing.assert_allclose(sharded, single, atol=1e-4, rtol=1e-4)
+
+
 def test_auto_mode_picks_streaming_past_budget(bundle):
     cfg = PipelineConfig(
         width=W, height=H, num_inference_steps=2,

@@ -67,6 +67,42 @@ def test_scene_motion_matches_numpy_oracle():
     assert np.abs(want[1:]).max() > 0  # non-trivial flow
 
 
+def test_scene_motion_matches_reference_verbatim():
+    """VERDICT r4 item 5: the jnp path vs the reference's own
+    `camera_to_scene_motion` imported VERBATIM (the same pattern
+    `test_torch_parity.py` uses for the context scheduler) — a shared
+    transcription error in the repo's numpy twin cannot hide here. Covers
+    ODD and even latent sizes (the odd-size meshgrid origin is
+    `-size // 2` under Python floor division, scene_motion_tracking.py:18-19).
+    """
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_scene_motion", "/root/reference/tools/scene_motion_tracking.py")
+    ref_sm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_sm)
+
+    rng = np.random.default_rng(7)
+    K = sm.DEFAULT_K
+    for (h, w) in ((8, 10), (9, 11), (7, 8), (96, 96)):
+        T = 5
+        depth = rng.uniform(0, 1, size=(h, w))
+        w2c = np.tile(np.eye(4)[None], (T, 1, 1)) + 0.01 * rng.normal(size=(T, 4, 4))
+        c2w = np.tile(np.eye(4)[None], (T, 1, 1)) + 0.01 * rng.normal(size=(T, 4, 4))
+        # reference signature: lists of (4, 4) mats, flat K, (h, w) depth;
+        # returns (T, 2, height, width)
+        want = ref_sm.camera_to_scene_motion(
+            list(w2c), list(c2w), K, depth, width=w, height=h, istrain=False)
+        got = np.asarray(sm.scene_motion_flow(w2c, c2w, depth, K=K))
+        np.testing.assert_allclose(
+            got.transpose(0, 3, 1, 2), want, rtol=1e-4, atol=1e-4,
+            err_msg=f"(h={h}, w={w})")
+        got_np = sm.scene_motion_flow_np(w2c, c2w, depth, K=K)
+        np.testing.assert_allclose(
+            got_np.transpose(0, 3, 1, 2), want, rtol=1e-6, atol=1e-8,
+            err_msg=f"np twin (h={h}, w={w})")
+
+
 def test_scene_motion_translation_direction():
     """A pure camera x-translation between frames must produce horizontal flow."""
     T, h, w = 2, 8, 8

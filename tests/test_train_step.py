@@ -276,6 +276,34 @@ def test_train_loop_counts_optimizer_steps_with_accumulation(tmp_path):
     assert int(state.step) == 6  # TrainState.step counts micro-steps
 
 
+def test_train_loop_smoke_fast(tmp_path):
+    """Fast-tier guard: one real train_loop step through the checkpoint
+    manager (create, save, wait). Kept OUT of the slow tier so regressions
+    in runner.py scaffolding (e.g. an undefined `mgr`) fail in `-m "not
+    slow"` runs."""
+    import os
+
+    from mikudance_tpu.train.runner import train_loop
+
+    guide, gp, den, dp = _small_models()
+    cfg = TrainConfig(learning_rate=1e-3)
+    schedule = DDIMSchedule.create(beta_schedule="scaled_linear")
+
+    class OneBatchLoader:
+        def __iter__(self):
+            yield _batch(0)
+
+    state = train_loop(
+        cfg=cfg, schedule=schedule, guide=guide, guide_params=gp,
+        den=den, den_params=dp, batches=OneBatchLoader(),
+        prepare_batch=lambda b, r: b, max_steps=1,
+        output_dir=str(tmp_path), run_name="smoke",
+        checkpointing_steps=1, log_every=10**6,
+    )
+    assert int(state.step) == 1
+    assert os.path.isdir(os.path.join(str(tmp_path), "checkpoints"))
+
+
 @pytest.mark.slow
 def test_train_loop_epoch_export(tmp_path):
     """save_model_epochs exports deployables at epoch boundaries (the
