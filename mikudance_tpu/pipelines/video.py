@@ -41,6 +41,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..core import mesh as mesh_lib
+from ..core.compile_opts import tuned_jit
 from ..core.configs import PipelineConfig
 from ..diffusion.ddim import DDIMSchedule, inference_step_pairs
 from ..models.unet import (DenoisingUNet, GuidanceUNet, bank_keys,
@@ -330,10 +331,12 @@ class VideoPipeline:
         # IMPORTANT: every jitted function takes the parameter trees as
         # explicit arguments — closing over them would bake ~GBs of weights
         # into the jaxpr as compile-time constants and stall XLA.
-        self._denoise_jit = jax.jit(
+        # the two denoise programs carry ~85% of the wall time: compile them
+        # with the swept TPU options (core/compile_opts.py)
+        self._denoise_jit = tuned_jit(
             self._denoise, static_argnames=("num_windows", "window_len", "mesh")
         )
-        self._denoise_streamed_jit = jax.jit(
+        self._denoise_streamed_jit = tuned_jit(
             self._denoise_streamed,
             static_argnames=("num_windows", "window_len", "group", "mesh"),
         )

@@ -21,6 +21,10 @@ os.environ["XLA_FLAGS"] = (
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+# the axon sitecustomize pre-imports jax and force-sets jax_platforms; the
+# env vars above are too late — override back (same pattern as tests/conftest)
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
@@ -121,10 +125,16 @@ def scan(pattern):
     out = {"count": 0, "bytes": 0, "shapes": {}}
     for line in text.splitlines():
         if pattern in line:
-            tys = re.findall(r"tensor<[^>]+>", line)
+            # operand types live in the trailing function-type
+            # `: (tensor<...>, ...) -> tensor<...>`, NOT in the
+            # replica_groups attribute (`dense<...> : tensor<NxMxi64>`)
+            m = re.search(r":\s*\(([^)]*)\)\s*->", line)
+            if not m:
+                continue
+            tys = re.findall(r"tensor<[^>]+>", m.group(1))
             if not tys:
                 continue
-            b = tensor_bytes(tys[0])
+            b = sum(tensor_bytes(t) for t in tys)
             out["count"] += 1
             out["bytes"] += b
             out["shapes"][tys[0]] = out["shapes"].get(tys[0], 0) + 1

@@ -1,0 +1,311 @@
+"""One-level transformer-block MEGA-KERNEL probe (VERDICT r4 #1b).
+
+A single pallas_call spanning the whole read-mode block interior for ONE
+representative UNet level (S=2304, C=640, heads=8, head_dim=80 — the
+down_1/up_2 level of the 768^2 denoise):
+
+    LN1 -> q/k/v (+bank K/V add) -> flash self-attn -> out-proj + residual
+    -> LN2 -> cross-q -> cross-attn vs hoisted ctx K/V -> out + residual
+    -> LN3 -> GEGLU FF -> out + residual
+
+Everything between the HBM load of x and the HBM store of the block output
+stays in VMEM: weights (~15 MB bf16) are grid-invariant and stay resident;
+per-batch-row activations (S x C and smaller) fit beside them. This is the
+"from-scratch full-block mega-kernel" named in the round-4 rejection notes
+as the one untried lever on the ~25 TF/s conv/dot region: unlike the
+round-4 MD_PALLAS_CHAIN (separate kernels, HBM between stages, 4.27 s vs
+4.085 s), NO intermediate ever touches HBM here.
+
+Prints: parity vs the XLA TransformerBlock path, and A/B wall time for
+B=32 batch rows (the headline CFG batch at this level).
+
+Run: python probes/_mega_block.py   (real chip)
+"""
+import functools
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+S, C, HEADS = 2304, 640, 8
+HD = C // HEADS  # 80
+SC = 257  # CLIP context tokens (hoisted K/V)
+SC_PAD = 320  # padded to a sublane multiple; padded rows masked in softmax
+FF = 4 * C  # 2560
+BQ, BK = 256, 576  # attention tiles: 9 q-tiles, 4 k-tiles
+NEG_INF = -1e30
+
+
+def _ln(x, scale, bias, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    return (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _attention(q, k, v, scale):
+    """Flash attention inside the kernel: q (S, C), k/v (Sk, C) VMEM values,
+    per head with online softmax over BK column tiles. Returns (S, C) fp32."""
+    Sk = k.shape[0]
+    nk = Sk // BK
+    out = jnp.zeros((S, C), jnp.float32)
+    for h in range(HEADS):
+        qh = q[:, h * HD:(h + 1) * HD] * scale  # (S, HD)
+        kh = k[:, h * HD:(h + 1) * HD]
+        vh = v[:, h * HD:(h + 1) * HD]
+
+        def body(j, carry):
+            m, l, acc = carry
+            ks = jax.lax.dynamic_slice_in_dim(kh, j * BK, BK, 0)
+            vs = jax.lax.dynamic_slice_in_dim(vh, j * BK, BK, 0)
+            s = jax.lax.dot_general(
+                qh.astype(jnp.bfloat16), ks.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vs.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            return m_new, l_new, acc * corr + pv
+
+        m0 = jnp.full((S, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((S, 1), jnp.float32)
+        a0 = jnp.zeros((S, HD), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, a0))
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, acc / l, h * HD, axis=1)
+    return out
+
+
+def _cross_attention(q, k, v, scale, n_valid):
+    """Dense per-head attention vs the (SC_PAD, C) padded context K/V;
+    rows >= n_valid masked to -inf."""
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (1, SC_PAD), 1)
+            < n_valid).astype(jnp.float32)
+    neg = (1.0 - mask) * NEG_INF
+    out = jnp.zeros((S, C), jnp.float32)
+    for h in range(HEADS):
+        qh = q[:, h * HD:(h + 1) * HD] * scale
+        kh = k[:, h * HD:(h + 1) * HD]
+        vh = v[:, h * HD:(h + 1) * HD]
+        s = jax.lax.dot_general(
+            qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s + neg
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        out = jax.lax.dynamic_update_slice_in_dim(out, pv, h * HD, axis=1)
+    return out
+
+
+def _mega_kernel(x_ref, rk_ref, rv_ref, ck_ref, cv_ref,
+                 wq_ref, wk_ref, wv_ref, wo_ref, bo_ref,
+                 wq2_ref, wo2_ref, bo2_ref,
+                 w1_ref, b1_ref, w2_ref, b2_ref,
+                 s1_ref, g1_ref, s2_ref, g2_ref, s3_ref, g3_ref,
+                 o_ref):
+    scale = 1.0 / math.sqrt(HD)
+    x = x_ref[0].astype(jnp.float32)  # (S, C)
+
+    # --- self-attention with additive bank K/V
+    hn = _ln(x, s1_ref[0], g1_ref[0]).astype(jnp.bfloat16)
+    q = _dot(hn, wq_ref[...])
+    k = _dot(hn, wk_ref[...]) + rk_ref[0].astype(jnp.float32)
+    v = _dot(hn, wv_ref[...]) + rv_ref[0].astype(jnp.float32)
+    a1 = _attention(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                    v.astype(jnp.bfloat16), scale)
+    x = x + _dot(a1.astype(jnp.bfloat16), wo_ref[...]) + bo_ref[0]
+
+    # --- cross-attention vs hoisted ctx K/V
+    n2 = _ln(x, s2_ref[0], g2_ref[0]).astype(jnp.bfloat16)
+    q2 = _dot(n2, wq2_ref[...])
+    a2 = _cross_attention(q2.astype(jnp.bfloat16), ck_ref[0], cv_ref[0],
+                          scale, SC)
+    x = x + _dot(a2.astype(jnp.bfloat16), wo2_ref[...]) + bo2_ref[0]
+
+    # --- GEGLU feed-forward, row tiles to bound the (BQ, 2*FF) intermediate
+    n3 = _ln(x, s3_ref[0], g3_ref[0]).astype(jnp.bfloat16)
+    inv_sqrt2 = np.float32(1.0 / np.sqrt(2.0))
+
+    def ff_tile(i, x_acc):
+        t = jax.lax.dynamic_slice_in_dim(n3, i * BQ, BQ, 0)
+        hg = _dot(t, w1_ref[...]) + b1_ref[0]
+        hidden = jax.lax.dynamic_slice_in_dim(hg, 0, FF, 1)
+        gate = jax.lax.dynamic_slice_in_dim(hg, FF, FF, 1)
+        act = hidden * (0.5 * gate * (1.0 + jax.lax.erf(gate * inv_sqrt2)))
+        y = _dot(act.astype(jnp.bfloat16), w2_ref[...]) + b2_ref[0]
+        xt = jax.lax.dynamic_slice_in_dim(x_acc, i * BQ, BQ, 0)
+        return jax.lax.dynamic_update_slice_in_dim(x_acc, xt + y, i * BQ, 0)
+
+    x = jax.lax.fori_loop(0, S // BQ, ff_tile, x)
+    o_ref[0] = x.astype(o_ref.dtype)
+
+
+def mega_block(x, rk, rv, ck, cv, w):
+    """x: (B, S, C) bf16; rk/rv: (B, S, C); ck/cv: (B, SC_PAD, C);
+    w: dict of weights (vectors pre-shaped to (1, dim)). Returns bf16."""
+    B = x.shape[0]
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda b: (0,) * len(shape))
+
+    def row():
+        return pl.BlockSpec((1, S, C), lambda b: (b, 0, 0))
+
+    def ctx():
+        return pl.BlockSpec((1, SC_PAD, C), lambda b: (b, 0, 0))
+
+    weight_specs = [
+        full((C, C)), full((C, C)), full((C, C)), full((C, C)), full((1, C)),
+        full((C, C)), full((C, C)), full((1, C)),
+        full((C, 2 * FF)), full((1, 2 * FF)), full((FF, C)), full((1, C)),
+        full((1, C)), full((1, C)), full((1, C)), full((1, C)),
+        full((1, C)), full((1, C)),
+    ]
+    return pl.pallas_call(
+        _mega_kernel,
+        grid=(B,),
+        in_specs=[row(), row(), row(), ctx(), ctx()] + weight_specs,
+        out_specs=row(),
+        out_shape=jax.ShapeDtypeStruct((B, S, C), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(x, rk, rv, ck, cv,
+      w["wq"], w["wk"], w["wv"], w["wo"], w["bo"],
+      w["wq2"], w["wo2"], w["bo2"],
+      w["w1"], w["b1"], w["w2"], w["b2"],
+      w["s1"], w["g1"], w["s2"], w["g2"], w["s3"], w["g3"])
+
+
+def xla_reference(x, rk, rv, ck, cv, w):
+    """Same math through plain jnp (mirrors TransformerBlock's read path)."""
+    scale = 1.0 / math.sqrt(HD)
+
+    def heads_attn(q, k, v, mask_len=None):
+        B, Sq, _ = q.shape
+        Sk = k.shape[1]
+        qh = q.reshape(B, Sq, HEADS, HD)
+        kh = k.reshape(B, Sk, HEADS, HD)
+        vh = v.reshape(B, Sk, HEADS, HD)
+        s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                       preferred_element_type=jnp.float32) * scale
+        if mask_len is not None:
+            m = jnp.arange(Sk) < mask_len
+            s = jnp.where(m[None, None, None, :], s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p, vh)
+        return o.reshape(B, Sq, HEADS * HD)
+
+    xf = x.astype(jnp.float32)
+    hn = _ln(xf, w["s1"], w["g1"]).astype(jnp.bfloat16)
+    q = hn @ w["wq"].astype(jnp.bfloat16)
+    k = hn @ w["wk"].astype(jnp.bfloat16) + rk
+    v = hn @ w["wv"].astype(jnp.bfloat16) + rv
+    a1 = heads_attn(q, k, v)
+    xf = xf + (a1 @ w["wo"].astype(jnp.bfloat16)).astype(jnp.float32) + w["bo"]
+
+    n2 = _ln(xf, w["s2"], w["g2"]).astype(jnp.bfloat16)
+    q2 = n2 @ w["wq2"].astype(jnp.bfloat16)
+    a2 = heads_attn(q2, ck, cv, mask_len=SC)
+    xf = xf + (a2 @ w["wo2"].astype(jnp.bfloat16)).astype(jnp.float32) + w["bo2"]
+
+    n3 = _ln(xf, w["s3"], w["g3"]).astype(jnp.bfloat16)
+    hg = (n3 @ w["w1"].astype(jnp.bfloat16)).astype(jnp.float32) + w["b1"]
+    hidden, gate = hg[..., :FF], hg[..., FF:]
+    act = hidden * (0.5 * gate * (1.0 + jax.lax.erf(gate / np.sqrt(2.0))))
+    y = (act.astype(jnp.bfloat16) @ w["w2"].astype(jnp.bfloat16)
+         ).astype(jnp.float32) + w["b2"]
+    return (xf + y).astype(jnp.bfloat16)
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    rng = np.random.default_rng(0)
+
+    def randn(*shape, s=0.02):
+        return jnp.asarray(rng.normal(0, s, shape).astype(np.float32))
+
+    x = randn(B, S, C, s=1.0).astype(jnp.bfloat16)
+    rk = randn(B, S, C, s=0.5).astype(jnp.bfloat16)
+    rv = randn(B, S, C, s=0.5).astype(jnp.bfloat16)
+    ckf = np.zeros((B, SC_PAD, C), np.float32)
+    cvf = np.zeros((B, SC_PAD, C), np.float32)
+    ckf[:, :SC] = rng.normal(0, 0.5, (B, SC, C))
+    cvf[:, :SC] = rng.normal(0, 0.5, (B, SC, C))
+    ck = jnp.asarray(ckf, jnp.bfloat16)
+    cv = jnp.asarray(cvf, jnp.bfloat16)
+    w = {  # vectors shaped (1, dim): TPU-friendly 2-D VMEM blocks
+        "wq": randn(C, C), "wk": randn(C, C), "wv": randn(C, C),
+        "wo": randn(C, C), "bo": randn(1, C),
+        "wq2": randn(C, C), "wo2": randn(C, C), "bo2": randn(1, C),
+        "w1": randn(C, 2 * FF), "b1": randn(1, 2 * FF),
+        "w2": randn(FF, C), "b2": randn(1, C),
+        "s1": jnp.ones((1, C)), "g1": randn(1, C),
+        "s2": jnp.ones((1, C)), "g2": randn(1, C),
+        "s3": jnp.ones((1, C)), "g3": randn(1, C),
+    }
+
+    from mikudance_tpu.utils.profiling import force
+
+    mega = jax.jit(mega_block)
+    ref = jax.jit(xla_reference)
+
+    print("compiling XLA reference...", flush=True)
+    r = ref(x, rk, rv, ck, cv, w)
+    force(r)
+    print("compiling mega kernel...", flush=True)
+    m = mega(x, rk, rv, ck, cv, w)
+    force(m)
+
+    rf = np.asarray(r, np.float32)
+    mf = np.asarray(m, np.float32)
+    rel = np.abs(rf - mf).max() / (np.abs(rf).max() + 1e-9)
+    print(f"parity: max rel err {rel:.4g}")
+
+    def bench(f, label):
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            force(f(x, rk, rv, ck, cv, w))
+            times.append(time.perf_counter() - t0)
+        t = float(np.median(times))
+        # FLOPs: qkv+out 4*S*C*C, attn 2*2*S*S*C, cross ~2*2*S*SC*C + 2*S*C*C,
+        # FF 2*S*C*2FF + 2*S*FF*C  (x2 for MAC)
+        fl = B * 2 * (4 * S * C * C + 2 * S * S * C + 2 * S * SC * C
+                      + 2 * S * C * C + S * C * 2 * FF + S * FF * C)
+        print(f"{label}: {t * 1e3:.2f} ms  ({fl / t / 1e12:.1f} TF/s)")
+        return t
+
+    t_ref = bench(ref, "XLA block")
+    t_mega = bench(mega, "MEGA kernel")
+    print(f"SPEEDUP: {t_ref / t_mega:.3f}x")
+
+
+if __name__ == "__main__":
+    main()

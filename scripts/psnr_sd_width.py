@@ -34,8 +34,11 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-# fp32 parity on TPU needs true-fp32 matmuls (6-pass bf16 decomposition)
-jax.config.update("jax_default_matmul_precision", "highest")
+# fp32 parity on TPU needs true-fp32 matmuls (6-pass bf16 decomposition).
+# Applied for the fp32 gate only — the bf16 (serving-dtype) gate must run
+# exactly what production runs (set in main after arg parsing).
+if "bf16" not in sys.argv:
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np
 import torch
@@ -44,6 +47,25 @@ from mikudance_tpu.core.configs import UNetConfig
 
 
 def main():
+    import argparse
+
+    import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2,
+                    help="DDIM steps (2 = round-4 gate; 4-6 = the multi-step "
+                         "error-accumulation gate)")
+    ap.add_argument("--dtype", choices=("fp32", "bf16"), default="fp32",
+                    help="UNet compute dtype on TPU (fp32 uses 'highest' "
+                         "matmul precision; bf16 is the serving dtype)")
+    ap.add_argument("--out", default=None,
+                    help="output JSON (default: PSNR_SD.json for the 2-step "
+                         "fp32 gate, PSNR_SD_multistep.json otherwise)")
+    args = ap.parse_args()
+    default_case = args.steps == 2 and args.dtype == "fp32"
+    out_path = args.out or ("PSNR_SD.json" if default_case
+                            else "PSNR_SD_multistep.json")
+
     from test_e2e_psnr import TINY_VAE, run_pipeline_vs_oracle
     from test_torch_parity import TUNet
     from test_vae_parity import TAutoencoderKL
@@ -64,7 +86,9 @@ def main():
     t0 = time.time()
     got_video, want_video, got_lat, want_lat = run_pipeline_vs_oracle(
         tvae, tguide, tden, unet_cfg=sd, vae_cfg=TINY_VAE, motion_heads=8,
-        T=2, H=768, W=768, steps=2, s_ctx=257, ctx_frames=3, overlap=1,
+        T=2, H=768, W=768, steps=args.steps, s_ctx=257, ctx_frames=3,
+        overlap=1,
+        unet_dtype=jnp.bfloat16 if args.dtype == "bf16" else None,
     )
     elapsed = time.time() - t0
 
@@ -73,9 +97,11 @@ def main():
     mse = float(np.mean(diff**2))
     psnr = float(10 * np.log10(1.0 / mse)) if mse > 0 else float("inf")
 
+    prec = ("TPU fp32-highest" if args.dtype == "fp32"
+            else "TPU bf16 (serving dtype)")
     record = {
-        "metric": "SD-width e2e PSNR vs torch oracle (768^2, 2 frames, "
-                  "2 DDIM steps, SD1.5 UNet geometry, TPU fp32-highest)",
+        "metric": f"SD-width e2e PSNR vs torch oracle (768^2, 2 frames, "
+                  f"{args.steps} DDIM steps, SD1.5 UNet geometry, {prec})",
         "psnr_db": round(psnr, 1),
         "latent_max_abs_err": lat_err,
         "bar_db": 35.0,
@@ -83,7 +109,7 @@ def main():
         "elapsed_s": round(elapsed, 1),
         "device": str(jax.devices()[0]),
     }
-    with open("PSNR_SD.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record))
     assert psnr >= 35.0, f"SD-width PSNR {psnr:.1f} dB below the 35 dB bar"

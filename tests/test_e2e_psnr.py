@@ -175,7 +175,7 @@ def run_pipeline_vs_oracle(
     tvae, tguide, tden, *, unet_cfg=TINY, vae_cfg=TINY_VAE,
     vae_blocks=None, vae_layers=VAE_LAYERS, motion_heads=4,
     T=T, H=H, W=W, steps=STEPS, scale=SCALE, s_ctx=S_CTX,
-    ctx_frames=3, overlap=1, seed=11,
+    ctx_frames=3, overlap=1, seed=11, unet_dtype=None,
 ):
     """Run the VideoPipeline on converted weights and the all-torch oracle on
     the same inputs; return (got_video, want_video, got_lat, want_lat).
@@ -197,14 +197,20 @@ def run_pipeline_vs_oracle(
     noise = rng.normal(0, 1, (T, h_, w_, 4)).astype(np.float32)
     inputs = (ref_img, skel, pose, face, hand, motion, clip_ctx, noise)
 
-    # pipeline on CONVERTED weights
+    # pipeline on CONVERTED weights. unet_dtype: compute dtype of the two
+    # UNets (None = fp32, the parity default; the multi-step SD-width gate
+    # passes bf16 — the production serving dtype — and judges by PSNR).
+    import jax.numpy as _jnp
+
+    udt = unet_dtype or _jnp.float32
     vae_sd = {k: v.detach().numpy() for k, v in tvae.state_dict().items()}
     bundle = ModelBundle(
-        GuidanceUNet(GuidanceUNetConfig(unet=unet_cfg, use_man=True)),
+        GuidanceUNet(GuidanceUNetConfig(unet=unet_cfg, use_man=True), dtype=udt),
         {"params": convert.convert_unet(
             tguide.state_dict(), with_man=True, with_conv_out=False)},
         DenoisingUNet(DenoisingUNetConfig(
-            unet=unet_cfg, motion=MotionModuleConfig(num_attention_heads=motion_heads))),
+            unet=unet_cfg, motion=MotionModuleConfig(num_attention_heads=motion_heads)),
+            dtype=udt),
         {"params": convert.convert_unet(tden.state_dict(), with_motion=True)},
         Encoder(vae_cfg),
         {"params": convert.convert_vae_encoder(vae_sd, vae_blocks, vae_layers)},
