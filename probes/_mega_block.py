@@ -44,6 +44,7 @@ SC_PAD = 320  # padded to a sublane multiple; padded rows masked in softmax
 FF = 4 * C  # 2560
 BQ, BK = 256, 576  # attention tiles: 9 q-tiles, 4 k-tiles
 NEG_INF = -1e30
+_INTERPRET = False  # --selftest: CPU interpret mode
 
 
 def _ln(x, scale, bias, eps=1e-5):
@@ -196,6 +197,7 @@ def mega_block(x, rk, rv, ck, cv, w):
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
+        interpret=_INTERPRET,
     )(x, rk, rv, ck, cv,
       w["wq"], w["wk"], w["wv"], w["wo"], w["bo"],
       w["wq2"], w["wo2"], w["bo2"],
@@ -244,8 +246,26 @@ def xla_reference(x, rk, rv, ck, cv, w):
     return (xf + y).astype(jnp.bfloat16)
 
 
+def _selftest_dims():
+    """Shrink every dimension and run the kernel in interpret mode on CPU —
+    catches shape/indexing bugs without burning chip time."""
+    global S, C, HEADS, HD, SC, SC_PAD, FF, BQ, BK
+    S, C, HEADS = 192, 128, 8
+    HD = C // HEADS
+    SC, SC_PAD = 13, 16
+    FF = 4 * C
+    BQ, BK = 64, 96
+
+
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    selftest = "--selftest" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    B = int(args[0]) if args else (2 if selftest else 32)
+    if selftest:
+        jax.config.update("jax_platforms", "cpu")
+        _selftest_dims()
+        global _INTERPRET
+        _INTERPRET = True
     rng = np.random.default_rng(0)
 
     def randn(*shape, s=0.02):
