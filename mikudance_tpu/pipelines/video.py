@@ -694,8 +694,9 @@ class VideoPipeline:
                 zero = jnp.zeros_like(lat)
                 if axis is not None:
                     # the scan's inputs vary over the group-shard axis, so its
-                    # carry must be marked varying too (shard_map vma check)
-                    zero = jax.lax.pvary(zero, (axis,))
+                    # carry must be marked varying too (shard_map vma check);
+                    # pcast replaces the deprecated pvary
+                    zero = jax.lax.pcast(zero, (axis,), to="varying")
                 # the banks slot carries gctx (recompute), the (ngroups,
                 # group*wf) bank_idx rows (quantized), or the banks themselves
                 xs = (win_g_l, winw_g_l, gctx_g_l if recompute else banks_g_l)
