@@ -9,12 +9,19 @@ down_1/up_2 level of the 768^2 denoise):
     -> LN3 -> GEGLU FF -> out + residual
 
 Everything between the HBM load of x and the HBM store of the block output
-stays in VMEM: weights (~15 MB bf16) are grid-invariant and stay resident;
-per-batch-row activations (S x C and smaller) fit beside them. This is the
-"from-scratch full-block mega-kernel" named in the round-4 rejection notes
-as the one untried lever on the ~25 TF/s conv/dot region: unlike the
-round-4 MD_PALLAS_CHAIN (separate kernels, HBM between stages, 4.27 s vs
-4.085 s), NO intermediate ever touches HBM here.
+stays in VMEM: weights (~15 MB bf16) are grid-invariant and stay resident.
+This is the "from-scratch full-block mega-kernel" named in the round-4
+rejection notes as the one untried lever on the ~25 TF/s conv/dot region:
+unlike the round-4 MD_PALLAS_CHAIN (separate kernels, HBM between stages,
+4.27 s vs 4.085 s), NO intermediate ever touches HBM here.
+
+VMEM forces a (B, q-tile) grid: one invocation holding all full-S
+activations peaks at 215 MB of the chip's 128 MB VMEM (first chip attempt,
+recorded), so each invocation recomputes LN1 + the k/v projections for the
+full row (NQS=4x redundant kv-proj ~= +25% of block FLOPs — an inherent tax
+of single-kernel fusion at this level) and runs q/cross/FF for its own
+576-row tile. A production variant would split k/v projection into its own
+kernel and pay one (S, C) bf16 HBM round-trip instead of the recompute.
 
 Prints: parity vs the XLA TransformerBlock path, and A/B wall time for
 B=32 batch rows (the headline CFG batch at this level).
@@ -42,7 +49,9 @@ HD = C // HEADS  # 80
 SC = 257  # CLIP context tokens (hoisted K/V)
 SC_PAD = 320  # padded to a sublane multiple; padded rows masked in softmax
 FF = 4 * C  # 2560
-BQ, BK = 256, 576  # attention tiles: 9 q-tiles, 4 k-tiles
+NQS = 4  # q-tile grid: each invocation runs S/NQS = 576 query rows
+BQS = S // NQS
+NFF = 3  # FF row sub-tiles inside a q-tile (bounds the (rows, 2*FF) f32)
 NEG_INF = -1e30
 _INTERPRET = False  # --selftest: CPU interpret mode
 
@@ -62,49 +71,13 @@ def _dot(a, b):
     )
 
 
-def _attention(q, k, v, scale):
-    """Flash attention inside the kernel: q (S, C), k/v (Sk, C) VMEM values,
-    per head with online softmax over BK column tiles. Returns (S, C) fp32."""
-    Sk = k.shape[0]
-    nk = Sk // BK
-    out = jnp.zeros((S, C), jnp.float32)
-    for h in range(HEADS):
-        qh = q[:, h * HD:(h + 1) * HD] * scale  # (S, HD)
-        kh = k[:, h * HD:(h + 1) * HD]
-        vh = v[:, h * HD:(h + 1) * HD]
-
-        def body(j, carry):
-            m, l, acc = carry
-            ks = jax.lax.dynamic_slice_in_dim(kh, j * BK, BK, 0)
-            vs = jax.lax.dynamic_slice_in_dim(vh, j * BK, BK, 0)
-            s = jax.lax.dot_general(
-                qh.astype(jnp.bfloat16), ks.astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            corr = jnp.exp(m - m_new)
-            l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), vs.astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-            return m_new, l_new, acc * corr + pv
-
-        m0 = jnp.full((S, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((S, 1), jnp.float32)
-        a0 = jnp.zeros((S, HD), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, a0))
-        out = jax.lax.dynamic_update_slice_in_dim(
-            out, acc / l, h * HD, axis=1)
-    return out
-
-
-def _cross_attention(q, k, v, scale, n_valid):
-    """Dense per-head attention vs the (SC_PAD, C) padded context K/V;
-    rows >= n_valid masked to -inf."""
-    mask = (jax.lax.broadcasted_iota(jnp.int32, (1, SC_PAD), 1)
-            < n_valid).astype(jnp.float32)
-    neg = (1.0 - mask) * NEG_INF
-    out = jnp.zeros((S, C), jnp.float32)
+def _attention(q, k, v, scale, neg=None):
+    """Dense per-head attention: q (Sq, C) tile, k/v (Sk, C) VMEM values.
+    One (Sq, Sk) f32 score matrix lives at a time (5.3 MB at the probe's
+    576 x 2304 tile) — no online-softmax tiling needed at this tile size.
+    Static Python head loop + static slices: this Pallas TPU lowering has
+    no dynamic_slice inside kernels. ``neg`` adds a padding mask row."""
+    outs = []
     for h in range(HEADS):
         qh = q[:, h * HD:(h + 1) * HD] * scale
         kh = k[:, h * HD:(h + 1) * HD]
@@ -112,58 +85,66 @@ def _cross_attention(q, k, v, scale, n_valid):
         s = jax.lax.dot_general(
             qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = s + neg
+        if neg is not None:
+            s = s + neg
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        out = jax.lax.dynamic_update_slice_in_dim(out, pv, h * HD, axis=1)
-    return out
+        outs.append(pv)
+    return jnp.concatenate(outs, axis=1)
 
 
-def _mega_kernel(x_ref, rk_ref, rv_ref, ck_ref, cv_ref,
+def _mega_kernel(x_full_ref, x_tile_ref, rk_ref, rv_ref, ck_ref, cv_ref,
                  wq_ref, wk_ref, wv_ref, wo_ref, bo_ref,
                  wq2_ref, wo2_ref, bo2_ref,
                  w1_ref, b1_ref, w2_ref, b2_ref,
                  s1_ref, g1_ref, s2_ref, g2_ref, s3_ref, g3_ref,
                  o_ref):
     scale = 1.0 / math.sqrt(HD)
-    x = x_ref[0].astype(jnp.float32)  # (S, C)
 
-    # --- self-attention with additive bank K/V
-    hn = _ln(x, s1_ref[0], g1_ref[0]).astype(jnp.bfloat16)
-    q = _dot(hn, wq_ref[...])
-    k = _dot(hn, wk_ref[...]) + rk_ref[0].astype(jnp.float32)
-    v = _dot(hn, wv_ref[...]) + rv_ref[0].astype(jnp.float32)
-    a1 = _attention(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-                    v.astype(jnp.bfloat16), scale)
+    # --- full-row k/v (recomputed per q-tile; see module docstring), cast
+    # to bf16 immediately: fp32 (S, C) temporaries blow the VMEM budget
+    hn = _ln(x_full_ref[0], s1_ref[0], g1_ref[0]).astype(jnp.bfloat16)
+    k = (_dot(hn, wk_ref[...])
+         + rk_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    v = (_dot(hn, wv_ref[...])
+         + rv_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
+
+    # --- this invocation's query tile: self-attention + residual
+    x = x_tile_ref[0].astype(jnp.float32)  # (BQS, C)
+    hn_t = _ln(x, s1_ref[0], g1_ref[0]).astype(jnp.bfloat16)
+    q = _dot(hn_t, wq_ref[...]).astype(jnp.bfloat16)
+    a1 = _attention(q, k, v, scale)
     x = x + _dot(a1.astype(jnp.bfloat16), wo_ref[...]) + bo_ref[0]
 
-    # --- cross-attention vs hoisted ctx K/V
+    # --- cross-attention vs hoisted ctx K/V (padded rows masked)
+    neg = (1.0 - (jax.lax.broadcasted_iota(jnp.int32, (1, SC_PAD), 1)
+                  < SC).astype(jnp.float32)) * NEG_INF
     n2 = _ln(x, s2_ref[0], g2_ref[0]).astype(jnp.bfloat16)
-    q2 = _dot(n2, wq2_ref[...])
-    a2 = _cross_attention(q2.astype(jnp.bfloat16), ck_ref[0], cv_ref[0],
-                          scale, SC)
+    q2 = _dot(n2, wq2_ref[...]).astype(jnp.bfloat16)
+    a2 = _attention(q2, ck_ref[0], cv_ref[0], scale, neg=neg)
     x = x + _dot(a2.astype(jnp.bfloat16), wo2_ref[...]) + bo2_ref[0]
 
-    # --- GEGLU feed-forward, row tiles to bound the (BQ, 2*FF) intermediate
+    # --- GEGLU feed-forward, row sub-tiles bound the (rows, 2*FF) f32.
+    # erf has no Pallas TPU lowering; the tanh GELU approximation differs by
+    # <1e-3 absolute — below bf16 output resolution for this timing probe.
     n3 = _ln(x, s3_ref[0], g3_ref[0]).astype(jnp.bfloat16)
-    inv_sqrt2 = np.float32(1.0 / np.sqrt(2.0))
+    c0, c1 = np.float32(0.7978845608028654), np.float32(0.044715)
 
-    def ff_tile(i, x_acc):
-        t = jax.lax.dynamic_slice_in_dim(n3, i * BQ, BQ, 0)
+    bf = BQS // NFF
+    tiles = []
+    for i in range(NFF):
+        t = n3[i * bf:(i + 1) * bf]
         hg = _dot(t, w1_ref[...]) + b1_ref[0]
-        hidden = jax.lax.dynamic_slice_in_dim(hg, 0, FF, 1)
-        gate = jax.lax.dynamic_slice_in_dim(hg, FF, FF, 1)
-        act = hidden * (0.5 * gate * (1.0 + jax.lax.erf(gate * inv_sqrt2)))
+        hidden, gate = hg[:, :FF], hg[:, FF:]
+        act = hidden * (0.5 * gate * (
+            1.0 + jnp.tanh(c0 * (gate + c1 * gate * gate * gate))))
         y = _dot(act.astype(jnp.bfloat16), w2_ref[...]) + b2_ref[0]
-        xt = jax.lax.dynamic_slice_in_dim(x_acc, i * BQ, BQ, 0)
-        return jax.lax.dynamic_update_slice_in_dim(x_acc, xt + y, i * BQ, 0)
-
-    x = jax.lax.fori_loop(0, S // BQ, ff_tile, x)
-    o_ref[0] = x.astype(o_ref.dtype)
+        tiles.append(x[i * bf:(i + 1) * bf] + y)
+    o_ref[0] = jnp.concatenate(tiles, axis=0).astype(o_ref.dtype)
 
 
 def mega_block(x, rk, rv, ck, cv, w):
@@ -172,13 +153,16 @@ def mega_block(x, rk, rv, ck, cv, w):
     B = x.shape[0]
 
     def full(shape):
-        return pl.BlockSpec(shape, lambda b: (0,) * len(shape))
+        return pl.BlockSpec(shape, lambda b, i: (0,) * len(shape))
 
-    def row():
-        return pl.BlockSpec((1, S, C), lambda b: (b, 0, 0))
+    def row():  # full S row, invariant across the q-tile grid axis
+        return pl.BlockSpec((1, S, C), lambda b, i: (b, 0, 0))
+
+    def tile():  # this invocation's BQS query rows
+        return pl.BlockSpec((1, BQS, C), lambda b, i: (b, i, 0))
 
     def ctx():
-        return pl.BlockSpec((1, SC_PAD, C), lambda b: (b, 0, 0))
+        return pl.BlockSpec((1, SC_PAD, C), lambda b, i: (b, 0, 0))
 
     weight_specs = [
         full((C, C)), full((C, C)), full((C, C)), full((C, C)), full((1, C)),
@@ -187,21 +171,24 @@ def mega_block(x, rk, rv, ck, cv, w):
         full((1, C)), full((1, C)), full((1, C)), full((1, C)),
         full((1, C)), full((1, C)),
     ]
+    def w16(name):  # weight MATRICES ship as bf16 (f32 copies cost ~30 MB
+        return w[name].astype(jnp.bfloat16)  # of VMEM); vectors stay f32
+
     return pl.pallas_call(
         _mega_kernel,
-        grid=(B,),
-        in_specs=[row(), row(), row(), ctx(), ctx()] + weight_specs,
-        out_specs=row(),
+        grid=(B, NQS),
+        in_specs=[row(), tile(), row(), row(), ctx(), ctx()] + weight_specs,
+        out_specs=tile(),
         out_shape=jax.ShapeDtypeStruct((B, S, C), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=_INTERPRET,
-    )(x, rk, rv, ck, cv,
-      w["wq"], w["wk"], w["wv"], w["wo"], w["bo"],
-      w["wq2"], w["wo2"], w["bo2"],
-      w["w1"], w["b1"], w["w2"], w["b2"],
+    )(x, x, rk, rv, ck, cv,
+      w16("wq"), w16("wk"), w16("wv"), w16("wo"), w["bo"],
+      w16("wq2"), w16("wo2"), w["bo2"],
+      w16("w1"), w["b1"], w16("w2"), w["b2"],
       w["s1"], w["g1"], w["s2"], w["g2"], w["s3"], w["g3"])
 
 
@@ -249,12 +236,12 @@ def xla_reference(x, rk, rv, ck, cv, w):
 def _selftest_dims():
     """Shrink every dimension and run the kernel in interpret mode on CPU —
     catches shape/indexing bugs without burning chip time."""
-    global S, C, HEADS, HD, SC, SC_PAD, FF, BQ, BK
+    global S, C, HEADS, HD, SC, SC_PAD, FF, BQS
     S, C, HEADS = 192, 128, 8
     HD = C // HEADS
     SC, SC_PAD = 13, 16
     FF = 4 * C
-    BQ, BK = 64, 96
+    BQS = S // NQS
 
 
 def main():
