@@ -244,8 +244,22 @@ def _selftest_dims():
     BQS = S // NQS
 
 
+def _set_level(name):
+    """Switch to another UNet level's geometry (same 768^2 denoise):
+    'mid' = the S=576, C=1280 level (whole-row q tiles fit VMEM there)."""
+    global S, C, HD, FF, NQS, BQS
+    assert name == "mid", name
+    S, C = 576, 1280
+    HD = C // HEADS  # 160
+    FF = 4 * C
+    NQS = 1  # (576, 576) scores are small; no q-tiling needed
+    BQS = S // NQS
+
+
 def main():
     selftest = "--selftest" in sys.argv
+    if "--mid" in sys.argv:
+        _set_level("mid")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     B = int(args[0]) if args else (2 if selftest else 32)
     if selftest:
