@@ -193,10 +193,21 @@ def mega_block(x, rk, rv, ck, cv, w):
 
 
 def xla_reference(x, rk, rv, ck, cv, w):
-    """Same math through plain jnp (mirrors TransformerBlock's read path)."""
+    """Same math through plain jnp (mirrors TransformerBlock's read path).
+    At S=9216 dense scores are 87 GB, so the reference switches to the
+    PRODUCTION attention path — the repo's Pallas flash kernels — which is
+    the honest comparator there (what the model actually runs today)."""
     scale = 1.0 / math.sqrt(HD)
+    use_flash = S > 4096
 
     def heads_attn(q, k, v, mask_len=None):
+        if use_flash:
+            from mikudance_tpu.kernels.flash_attention import (
+                flash_attention_cross, flash_attention_fullc)
+            if mask_len is not None:
+                return flash_attention_cross(
+                    q, k[:, :mask_len], v[:, :mask_len], HEADS, scale)
+            return flash_attention_fullc(q, k, v, HEADS, scale)
         B, Sq, _ = q.shape
         Sk = k.shape[1]
         qh = q.reshape(B, Sq, HEADS, HD)
@@ -246,13 +257,19 @@ def _selftest_dims():
 
 def _set_level(name):
     """Switch to another UNet level's geometry (same 768^2 denoise):
-    'mid' = the S=576, C=1280 level (whole-row q tiles fit VMEM there)."""
+    'mid' = S=576, C=1280 (whole-row q tiles fit VMEM); 'big' = S=9216,
+    C=320, the top level — 16 q-tiles, so the kv-proj recompute tax is
+    ~+38% of block FLOPs there (the two-kernel split's upside)."""
     global S, C, HD, FF, NQS, BQS
-    assert name == "mid", name
-    S, C = 576, 1280
-    HD = C // HEADS  # 160
+    if name == "mid":
+        S, C = 576, 1280
+        NQS = 1  # (576, 576) scores are small; no q-tiling needed
+    else:
+        assert name == "big", name
+        S, C = 9216, 320
+        NQS = 16  # (576, 9216) f32 scores = 20 MB per tile
+    HD = C // HEADS
     FF = 4 * C
-    NQS = 1  # (576, 576) scores are small; no q-tiling needed
     BQS = S // NQS
 
 
@@ -260,6 +277,8 @@ def main():
     selftest = "--selftest" in sys.argv
     if "--mid" in sys.argv:
         _set_level("mid")
+    elif "--big" in sys.argv:
+        _set_level("big")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     B = int(args[0]) if args else (2 if selftest else 32)
     if selftest:
